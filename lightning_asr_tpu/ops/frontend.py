@@ -1,0 +1,230 @@
+"""On-device log-mel frontend — GEMM-native STFT, exact torchaudio semantics.
+
+The reference computes per-utterance log-mels on CPU in dataloader workers
+(``/root/reference/data_module.py:150-174``):
+
+    1. dither: ``y += 1e-5 * randn``
+    2. preemphasis 0.97: ``cat(y[0], y[1:] - 0.97*y[:-1])``
+    3. MelSpectrogram(sr=16000, n_fft=512, pad=32, win_length=320,
+       hop_length=160, n_mels=64)  — torchaudio 0.8.1 defaults: center=True
+       reflect pad, periodic Hann window (zero-padded to n_fft centered),
+       power=2, HTK mel scale, no filterbank norm, f_min=0, f_max=sr/2
+       (``data_module.py:68-70``)
+    4. AmplitudeToDB(stype="power"): ``10*log10(clamp(x, 1e-10))``
+       (``data_module.py:71,161``)
+    5. per-utterance normalization ``(y-mean)/std`` with torch's unbiased std
+       (``data_module.py:171-172``)
+
+Here the whole pipeline runs batched on the TPU under jit.  Design:
+
+  * the (zero-pad 32 | reflect-pad 256) signal extension is a vectorized
+    gather driven by *per-sample true lengths*, so every valid frame matches
+    the reference exactly even inside a padded batch;
+  * the windowed DFT is a strided conv1d against 2*(n_fft//2+1) fixed
+    cos/sin filters (window folded in) — an implicit GEMM that XLA maps onto
+    the MXU, instead of an FFT;
+  * mel projection is one more matmul; log/normalize fuse into it.
+
+Output layout is (B, T, n_mels) — time-major NTC, the natural layout for
+the NWC conv encoder that follows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclass(frozen=True)
+class MelFrontendConfig:
+    sample_rate: int = 16000
+    n_fft: int = 512
+    win_length: int = 320        # 0.02 s at 16 kHz
+    hop_length: int = 160        # win // 2
+    n_mels: int = 64
+    pad: int = 32                # constant zero pad (Spectrogram `pad=`)
+    preemph: float = 0.97
+    dither: float = 1e-5
+    f_min: float = 0.0
+    f_max: Optional[float] = None  # defaults to sr/2
+    amin: float = 1e-10
+    # HIGHEST keeps fp32 MXU passes for bitwise-close parity with torchaudio;
+    # set to "default" to trade parity for speed.
+    precision: str = "highest"
+
+    @property
+    def fmax(self) -> float:
+        return self.f_max if self.f_max is not None else self.sample_rate / 2.0
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def total_pad(self) -> int:
+        # zero pad both sides + center reflect pad both sides
+        return self.pad + self.n_fft // 2
+
+    def lax_precision(self) -> lax.Precision:
+        return lax.Precision.HIGHEST if self.precision == "highest" else lax.Precision.DEFAULT
+
+
+def mel_num_frames(num_samples, cfg: MelFrontendConfig = MelFrontendConfig()):
+    """Frame count for a signal of `num_samples` samples (python int or array):
+    1 + (num_samples + 2*pad + 2*(n_fft//2) - n_fft) // hop."""
+    return 1 + (num_samples + 2 * cfg.pad + 2 * (cfg.n_fft // 2) - cfg.n_fft) // cfg.hop_length
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window, torch.hann_window(periodic=True)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * math.pi * n / win_length))).astype(np.float64)
+
+
+def mel_filterbank(cfg: MelFrontendConfig) -> np.ndarray:
+    """HTK-scale triangular filterbank, no norm — torchaudio
+    ``create_fb_matrix`` semantics. Shape (n_freqs, n_mels)."""
+    all_freqs = np.linspace(0.0, cfg.sample_rate // 2, cfg.n_freqs, dtype=np.float64)
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    m_min = hz_to_mel(cfg.f_min)
+    m_max = hz_to_mel(cfg.fmax)
+    m_pts = np.linspace(m_min, m_max, cfg.n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+
+    f_diff = f_pts[1:] - f_pts[:-1]                      # (n_mels+1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]         # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def dft_filters(cfg: MelFrontendConfig) -> np.ndarray:
+    """Windowed DFT as conv filters: (2*n_freqs, n_fft) float32.
+    Rows [0, n_freqs) are cos (real part), [n_freqs, 2*n_freqs) are -sin
+    (imag part).  The win_length window is centered in the n_fft frame the
+    way torch.stft pads it."""
+    n_fft, win, n_freqs = cfg.n_fft, cfg.win_length, cfg.n_freqs
+    w = np.zeros(n_fft, dtype=np.float64)
+    left = (n_fft - win) // 2
+    w[left : left + win] = hann_window(win)
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_freqs, dtype=np.float64)
+    ang = 2.0 * math.pi * k[:, None] * n[None, :] / n_fft
+    cos_f = np.cos(ang) * w[None, :]
+    sin_f = -np.sin(ang) * w[None, :]
+    return np.concatenate([cos_f, sin_f], axis=0).astype(np.float32)
+
+
+def _extend_signal(waves: jnp.ndarray, wave_lens: jnp.ndarray, cfg: MelFrontendConfig) -> jnp.ndarray:
+    """Per-sample (zero-pad `pad` | reflect-pad n_fft//2) extension of a
+    padded batch, via one gather.
+
+    For each sample with true length L: the zero-padded signal z has length
+    L' = L + 2*pad with z[i] = y[i-pad] for pad <= i < L+pad else 0.  The
+    reflect-extended signal is q[j] = z[mirror(j - n_fft//2, L')].  We emit a
+    static buffer of S_max + 2*pad + n_fft samples; positions past the
+    per-sample valid range are garbage-free zeros (masked by frame lengths
+    downstream).
+    """
+    B, S = waves.shape
+    half = cfg.n_fft // 2
+    Lp = wave_lens + 2 * cfg.pad                      # (B,) zero-padded lengths
+    out_len = S + 2 * cfg.pad + cfg.n_fft
+
+    j = lax.broadcasted_iota(jnp.int32, (B, out_len), 1)
+    m = j - half
+    m = jnp.abs(m)                                     # reflect at 0
+    m = jnp.where(m >= Lp[:, None], 2 * Lp[:, None] - 2 - m, m)  # reflect at end
+    src = m - cfg.pad                                  # index into the raw wave
+    valid = (src >= 0) & (src < wave_lens[:, None])
+    src_clamped = jnp.clip(src, 0, S - 1)
+    gathered = jnp.take_along_axis(waves, src_clamped, axis=1)
+    return jnp.where(valid, gathered, 0.0)
+
+
+def _preemphasis(waves: jnp.ndarray, prev_samples: Optional[jnp.ndarray], coeff: float) -> jnp.ndarray:
+    """y'[t] = y[t] - c*y[t-1]; the first sample subtracts `prev_samples`
+    (the raw sample preceding a training-time crop) or nothing, matching the
+    reference where preemphasis runs before cropping."""
+    prev = jnp.concatenate([jnp.zeros_like(waves[:, :1]), waves[:, :-1]], axis=1)
+    if prev_samples is not None:
+        prev = prev.at[:, 0].set(prev_samples)
+    return waves - coeff * prev
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def log_mel_spectrogram(
+    waves: jnp.ndarray,
+    wave_lens: jnp.ndarray,
+    cfg: MelFrontendConfig = MelFrontendConfig(),
+    rng: Optional[jax.Array] = None,
+    prev_samples: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched log-mel frontend.
+
+    Args:
+      waves: (B, S) float32 padded waveforms.
+      wave_lens: (B,) int32 true sample counts.
+      rng: optional PRNG key enabling dithering (training).
+      prev_samples: optional (B,) raw sample preceding each crop window.
+
+    Returns:
+      mels: (B, T, n_mels) float32 log-mel (dB), un-normalized.
+      mel_lens: (B,) int32 valid frame counts.
+    """
+    waves = waves.astype(jnp.float32)
+    if rng is not None and cfg.dither > 0:
+        waves = waves + cfg.dither * jax.random.normal(rng, waves.shape, jnp.float32)
+    waves = _preemphasis(waves, prev_samples, cfg.preemph)
+
+    q = _extend_signal(waves, wave_lens, cfg)          # (B, S + 2*pad + n_fft)
+
+    filters = jnp.asarray(dft_filters(cfg))            # (2F, n_fft)
+    # conv1d: (B, 1, S_ext) * (2F, 1, n_fft) stride hop -> (B, 2F, T)
+    spec = lax.conv_general_dilated(
+        q[:, None, :],
+        filters[:, None, :],
+        window_strides=(cfg.hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=cfg.lax_precision(),
+    )
+    F = cfg.n_freqs
+    power = spec[:, :F, :] ** 2 + spec[:, F:, :] ** 2  # (B, F, T)
+
+    fb = jnp.asarray(mel_filterbank(cfg))              # (F, n_mels)
+    # (B, T, F) @ (F, n_mels) -> (B, T, n_mels)
+    mel = jnp.einsum("bft,fm->btm", power, fb, precision=cfg.lax_precision())
+
+    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, cfg.amin))
+
+    mel_lens = (1 + (wave_lens + 2 * cfg.pad + 2 * (cfg.n_fft // 2) - cfg.n_fft) // cfg.hop_length).astype(jnp.int32)
+    return log_mel, mel_lens
+
+
+def normalize_features(feats: jnp.ndarray, feat_lens: jnp.ndarray) -> jnp.ndarray:
+    """Per-utterance (x - mean)/std over *valid* frames with torch's unbiased
+    (N-1) std (``data_module.py:171-172``), zeroing padded frames afterwards
+    like the reference collate (``data_module.py:230``)."""
+    B, T, F = feats.shape
+    mask = (lax.broadcasted_iota(jnp.int32, (B, T), 1) < feat_lens[:, None]).astype(feats.dtype)
+    n = (feat_lens.astype(feats.dtype) * F)[:, None, None]
+    m3 = mask[:, :, None]
+    mean = jnp.sum(feats * m3, axis=(1, 2), keepdims=True) / n
+    var = jnp.sum(((feats - mean) * m3) ** 2, axis=(1, 2), keepdims=True) / jnp.maximum(n - 1.0, 1.0)
+    out = (feats - mean) / jnp.sqrt(var)
+    return out * m3

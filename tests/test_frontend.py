@@ -1,0 +1,160 @@
+"""Log-mel frontend parity vs the reference's torchaudio-0.8.1 pipeline.
+
+torchaudio itself is not installed; the golden pipeline is rebuilt here in
+torch from its documented formulas (torch.stft + HTK mel filterbank +
+power-dB), which is exactly what torchaudio.transforms.MelSpectrogram /
+AmplitudeToDB compute (``/root/reference/data_module.py:68-71,150-174``).
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from lightning_asr_tpu.ops.frontend import (
+    MelFrontendConfig,
+    log_mel_spectrogram,
+    mel_filterbank,
+    mel_num_frames,
+    normalize_features,
+)
+
+CFG = MelFrontendConfig(dither=0.0)
+
+
+def torch_mel_filterbank(n_freqs=257, f_min=0.0, f_max=8000.0, n_mels=64, sr=16000):
+    """torchaudio.functional.create_fb_matrix (0.8.1): HTK scale, no norm."""
+    all_freqs = torch.linspace(0, sr // 2, n_freqs, dtype=torch.float64)
+    m_min = 2595.0 * math.log10(1.0 + (f_min / 700.0))
+    m_max = 2595.0 * math.log10(1.0 + (f_max / 700.0))
+    m_pts = torch.linspace(m_min, m_max, n_mels + 2, dtype=torch.float64)
+    f_pts = 700.0 * (10 ** (m_pts / 2595.0) - 1.0)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts.unsqueeze(0) - all_freqs.unsqueeze(1)
+    down_slopes = (-1.0 * slopes[:, :-2]) / f_diff[:-1]
+    up_slopes = slopes[:, 2:] / f_diff[1:]
+    return torch.max(torch.zeros(1, dtype=torch.float64), torch.min(down_slopes, up_slopes))
+
+
+def torch_reference_logmel(wave: np.ndarray) -> np.ndarray:
+    """The reference AudioParser's mel path (dither off, no augmentation,
+    no normalization): preemph -> MelSpectrogram -> AmplitudeToDB."""
+    y = torch.from_numpy(wave).double().unsqueeze(0)
+    y = torch.cat((y[:, 0].unsqueeze(1), y[:, 1:] - 0.97 * y[:, :-1]), dim=1)
+    # Spectrogram pad=32 (constant), then torch.stft center reflect pad
+    y = torch.nn.functional.pad(y, (32, 32), mode="constant")
+    window = torch.hann_window(320, periodic=True, dtype=torch.float64)
+    spec = torch.stft(
+        y, n_fft=512, hop_length=160, win_length=320, window=window,
+        center=True, pad_mode="reflect", normalized=False, onesided=True,
+        return_complex=True,
+    )
+    power = spec.real ** 2 + spec.imag ** 2  # (1, 257, T)
+    fb = torch_mel_filterbank()
+    mel = torch.matmul(power.transpose(1, 2), fb).transpose(1, 2)  # (1, 64, T)
+    logmel = 10.0 * torch.log10(torch.clamp(mel, min=1e-10))
+    return logmel.squeeze(0).numpy()  # (64, T)
+
+
+@pytest.mark.parametrize("n_samples", [16000, 44800, 16001])
+def test_logmel_matches_torch_single(n_samples):
+    rng = np.random.default_rng(42)
+    wave = (rng.standard_normal(n_samples) * 0.1).astype(np.float32)
+
+    golden = torch_reference_logmel(wave)  # (64, T)
+    T_expected = golden.shape[1]
+    assert mel_num_frames(n_samples, CFG) == T_expected
+
+    mels, mel_lens = log_mel_spectrogram(
+        jnp.asarray(wave)[None, :], jnp.asarray([n_samples], jnp.int32), CFG
+    )
+    assert int(mel_lens[0]) == T_expected
+    ours = np.asarray(mels[0]).T  # (64, T)
+
+    np.testing.assert_allclose(ours, golden, rtol=0, atol=2e-3)
+    # dB-domain closeness: overwhelming majority of cells essentially exact
+    assert np.percentile(np.abs(ours - golden), 99) < 2e-4
+
+
+def test_logmel_batched_padding_invariance():
+    """Frames of a short utterance inside a padded batch must equal its
+    stand-alone frames — the per-sample reflect-pad gather is exact."""
+    rng = np.random.default_rng(7)
+    n1, n2 = 9600, 16000
+    w1 = (rng.standard_normal(n1) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal(n2) * 0.1).astype(np.float32)
+
+    batch = np.zeros((2, n2), np.float32)
+    batch[0, :n1] = w1
+    batch[1] = w2
+    mels, mel_lens = log_mel_spectrogram(
+        jnp.asarray(batch), jnp.asarray([n1, n2], jnp.int32), CFG
+    )
+
+    solo, solo_lens = log_mel_spectrogram(
+        jnp.asarray(w1)[None, :], jnp.asarray([n1], jnp.int32), CFG
+    )
+    T1 = int(solo_lens[0])
+    assert int(mel_lens[0]) == T1
+    np.testing.assert_allclose(
+        np.asarray(mels[0, :T1]), np.asarray(solo[0, :T1]), rtol=0, atol=2e-3
+    )
+
+
+def test_normalize_matches_torch_std_mean():
+    """Per-utterance normalization must use torch's unbiased std."""
+    rng = np.random.default_rng(3)
+    T, F = 101, 64
+    feats = rng.standard_normal((1, T, F)).astype(np.float32) * 5 + 2
+
+    t = torch.from_numpy(feats[0].T.copy())  # (64, T) like the reference
+    std, mean = torch.std_mean(t)
+    golden = ((t - mean) / std).numpy().T
+
+    ours = np.asarray(normalize_features(jnp.asarray(feats), jnp.asarray([T], jnp.int32))[0])
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_normalize_ignores_padding():
+    rng = np.random.default_rng(4)
+    T_true, T_pad, F = 50, 80, 64
+    feats = np.zeros((1, T_pad, F), np.float32)
+    feats[0, :T_true] = rng.standard_normal((T_true, F)).astype(np.float32)
+
+    padded = np.asarray(normalize_features(jnp.asarray(feats), jnp.asarray([T_true], jnp.int32))[0])
+    solo = np.asarray(
+        normalize_features(jnp.asarray(feats[:, :T_true]), jnp.asarray([T_true], jnp.int32))[0]
+    )
+    np.testing.assert_allclose(padded[:T_true], solo, rtol=1e-5, atol=1e-6)
+    assert np.all(padded[T_true:] == 0)
+
+
+def test_preemphasis_prev_sample():
+    """prev_samples stitches a crop boundary exactly like preemph-then-crop."""
+    rng = np.random.default_rng(5)
+    wave = rng.standard_normal(3200).astype(np.float32)
+    offset, crop_len = 100, 3000
+
+    full = torch_reference_logmel(wave)  # unused directly; just sanity torch import
+    del full
+
+    # reference order: preemph on the full waveform, then crop
+    pre = np.concatenate([wave[:1], wave[1:] - 0.97 * wave[:-1]])
+    ref_crop = pre[offset : offset + crop_len]
+
+    from lightning_asr_tpu.ops.frontend import _preemphasis
+
+    crop = wave[offset : offset + crop_len]
+    ours = np.asarray(
+        _preemphasis(jnp.asarray(crop)[None], jnp.asarray([wave[offset - 1]]), 0.97)[0]
+    )
+    np.testing.assert_allclose(ours, ref_crop, rtol=1e-6, atol=1e-7)
+
+
+def test_filterbank_matches_torchaudio():
+    ours = mel_filterbank(CFG)
+    golden = torch_mel_filterbank().numpy()
+    np.testing.assert_allclose(ours, golden, rtol=0, atol=1e-6)
