@@ -1,0 +1,116 @@
+"""AsrDataModule — the reference's ``LibriDataModule`` surface
+(``/root/reference/data_module.py:177-248``): train/val/test loaders built
+from JSONL manifests + labels, with duration filters (train 16.7s / dev 40s)
+and train-time shuffle+crop.  Adds pseudo-label injection used by the SSL
+path (``ssl_codec/ssl_data_module.py:262-281``)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+from .manifest import ManifestEntry, read_manifests
+from .pipeline import BucketBatcher, prefetch
+from .vocab import Vocabulary
+
+
+def _as_list(manifest) -> list:
+    if manifest is None:
+        return []
+    if isinstance(manifest, (str, Path)):
+        return [manifest]
+    return list(manifest)
+
+
+class AsrDataModule:
+    def __init__(
+        self,
+        train_manifest=None,
+        dev_manifest=None,
+        test_manifest=None,
+        labels: Union[str, Sequence[str]] = (),
+        train_bs: int = 16,
+        dev_bs: int = 16,
+        train_max_duration: float = 16.7,
+        dev_max_duration: float = 40.0,
+        seed: int = 0,
+        crop: bool = True,
+        bucket_seconds: Optional[Sequence[float]] = None,
+        prefetch_depth: int = 2,
+    ):
+        self.vocab = Vocabulary.from_config(labels)
+        self.train_manifest = _as_list(train_manifest)
+        self.dev_manifest = _as_list(dev_manifest)
+        self.test_manifest = _as_list(test_manifest)
+        self.train_bs = train_bs
+        self.dev_bs = dev_bs
+        self.train_max_duration = train_max_duration
+        self.dev_max_duration = dev_max_duration
+        self.seed = seed
+        self.crop = crop
+        self.bucket_seconds = bucket_seconds
+        self.prefetch_depth = prefetch_depth
+        self.train_entries: List[ManifestEntry] = []
+        self.dev_entries: List[ManifestEntry] = []
+        self.test_entries: List[ManifestEntry] = []
+        self.pseudo_entries: List[ManifestEntry] = []  # SSL pseudo-labels
+        self._setup_done = False
+
+    def setup(self) -> None:
+        if self._setup_done:
+            return
+        if self.train_manifest:
+            self.train_entries = read_manifests(self.train_manifest, self.train_max_duration)
+        if self.dev_manifest:
+            self.dev_entries = read_manifests(self.dev_manifest, self.dev_max_duration)
+        if self.test_manifest:
+            self.test_entries = read_manifests(self.test_manifest, self.dev_max_duration)
+        self._setup_done = True
+
+    def _batcher(self, entries, bs, train) -> BucketBatcher:
+        kwargs = {}
+        if self.bucket_seconds is not None:
+            kwargs["bucket_seconds"] = self.bucket_seconds
+        return BucketBatcher(
+            entries, self.vocab, bs, train=train, crop=self.crop and train,
+            seed=self.seed, **kwargs,
+        )
+
+    def train_dataloader(self, epoch: int = 0) -> BucketBatcher:
+        self.setup()
+        entries = self.train_entries + self.pseudo_entries
+        batcher = self._batcher(entries, self.train_bs, train=True)
+        batcher.set_epoch(epoch)
+        return batcher
+
+    def val_dataloader(self) -> BucketBatcher:
+        self.setup()
+        return self._batcher(self.dev_entries, self.dev_bs, train=False)
+
+    def test_dataloader(self) -> BucketBatcher:
+        self.setup()
+        return self._batcher(self.test_entries, self.dev_bs, train=False)
+
+    def steps_per_epoch(self) -> int:
+        """The reference sizes its LR cycle by len(train_dataloader)
+        (``train.py:53``)."""
+        self.setup()
+        return len(self._batcher(self.train_entries + self.pseudo_entries, self.train_bs, train=True))
+
+    # -- SSL pseudo-labeling hooks (ssl_data_module.py:262-281) -------------
+    def inject_pseudo_datasets(self, pairs: Sequence[tuple]) -> None:
+        """pairs of (audio_path, text[, duration]) accepted as new training
+        data; replaces previously injected pseudo labels."""
+        entries = []
+        for pair in pairs:
+            path, text = pair[0], pair[1]
+            duration = pair[2] if len(pair) > 2 else None
+            if duration is None:
+                from .audio import duration_seconds
+
+                duration = duration_seconds(path)
+            entries.append(ManifestEntry(str(path), float(duration), text))
+        self.pseudo_entries = entries
+
+    def iter_prefetched(self, batcher: BucketBatcher):
+        return prefetch(iter(batcher), self.prefetch_depth)

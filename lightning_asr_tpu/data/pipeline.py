@@ -1,0 +1,212 @@
+"""Host-side batching: bucketed static shapes + background prefetch.
+
+The reference pads every batch to its own max length and carries fractional
+``input_percentages`` (``/root/reference/data_module.py:222-248``).  Dynamic
+per-batch shapes would force an XLA recompile per batch on TPU, so here:
+
+  * utterances are grouped into a small set of **duration buckets**; each
+    batch is padded to its bucket's fixed sample count -> one compile per
+    (bucket, batch_size);
+  * target text is padded to a fixed per-bucket character budget;
+  * lengths travel as absolute counts; ``percents`` (= len/padded) are
+    derived at the device edge for reference-formula masking;
+  * the training-time random crop (``sub_secquence``, data_module.py:138-148)
+    happens here as (offset, length) metadata — the waveform is sliced
+    without copy and the pre-crop sample is kept so device-side preemphasis
+    matches the reference's preemph-then-crop ordering;
+  * a background thread decodes + assembles the next batches while the
+    device computes (the reference used 6 dataloader workers; here decode is
+    the only host work since mel runs on-device).
+
+Batch waveforms stay int16-sized (float32) on host; features are computed on
+device by the jitted frontend.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .audio import read_audio
+from .manifest import ManifestEntry
+from .vocab import Vocabulary
+
+# Default duration bucket edges (seconds). The train filter caps at 16.7s and
+# dev at 40s (conf/conf.yaml:15-16); buckets beyond 17s serve dev/test.
+DEFAULT_BUCKET_SECONDS = (2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.7, 20.0, 30.0, 40.0)
+
+
+@dataclass
+class Batch:
+    waves: np.ndarray          # (B, S_bucket) float32
+    wave_lens: np.ndarray      # (B,) int32 true sample counts
+    prev_samples: np.ndarray   # (B,) float32 sample preceding each crop
+    targets: np.ndarray        # (B, L_bucket) int32 padded label ids
+    target_lens: np.ndarray    # (B,) int32
+    paths: List[str] = field(default_factory=list)
+    texts: List[str] = field(default_factory=list)
+
+    @property
+    def size(self) -> int:
+        return self.waves.shape[0]
+
+    @property
+    def audio_seconds(self) -> float:
+        return float(self.wave_lens.sum()) / 16000.0
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BucketBatcher:
+    """Iterable over static-shape batches from a manifest entry list."""
+
+    def __init__(
+        self,
+        entries: Sequence[ManifestEntry],
+        vocab: Vocabulary,
+        batch_size: int,
+        train: bool = False,
+        sample_rate: int = 16000,
+        bucket_seconds: Sequence[float] = DEFAULT_BUCKET_SECONDS,
+        crop: bool = True,
+        crop_weight: float = 0.98,
+        drop_last: Optional[bool] = None,
+        seed: int = 0,
+        target_pad_multiple: int = 32,
+    ):
+        self.entries = list(entries)
+        self.vocab = vocab
+        self.batch_size = batch_size
+        self.train = train
+        self.sample_rate = sample_rate
+        self.bucket_samples = [int(s * sample_rate) for s in bucket_seconds]
+        self.crop = crop and train
+        self.crop_weight = crop_weight
+        self.drop_last = train if drop_last is None else drop_last
+        self.seed = seed
+        self.target_pad_multiple = target_pad_multiple
+        self.epoch = 0
+        # encode targets once
+        self._encoded = [np.asarray(vocab.encode(e.text), np.int32) for e in self.entries]
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _bucket_for(self, n_samples: int) -> int:
+        for b in self.bucket_samples:
+            if n_samples <= b:
+                return b
+        return _round_up(n_samples, self.sample_rate)  # overflow: 1s granularity
+
+    def __len__(self) -> int:
+        """Approximate batch count (exact when not cropping)."""
+        buckets: dict[int, int] = {}
+        for e in self.entries:
+            b = self._bucket_for(int(e.duration * self.sample_rate))
+            buckets[b] = buckets.get(b, 0) + 1
+        total = 0
+        for count in buckets.values():
+            total += count // self.batch_size if self.drop_last else -(-count // self.batch_size)
+        return total
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.seed + self.epoch * 1000003)
+        order = np.arange(len(self.entries))
+        if self.train:
+            rng.shuffle(order)
+
+        # Plan crops + bucket assignment without touching audio files.
+        plans: dict[int, list[tuple[int, int, int]]] = {}  # bucket -> [(idx, offset, length)]
+        for idx in order:
+            n = int(round(self.entries[idx].duration * self.sample_rate))
+            offset = 0
+            length = n
+            if self.crop:
+                target_length = int(n * rng.uniform(self.crop_weight, 1.0))
+                offset = int(rng.uniform(0, n - target_length))
+                length = max(target_length - offset, 1)
+            plans.setdefault(self._bucket_for(length), []).append((int(idx), offset, length))
+
+        # Emit batches bucket-interleaved in randomized order for training.
+        pending: list[tuple[int, list[tuple[int, int, int]]]] = []
+        for bucket, items in plans.items():
+            for i in range(0, len(items), self.batch_size):
+                chunk = items[i : i + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                pending.append((bucket, chunk))
+        if self.train:
+            rng.shuffle(pending)
+
+        for bucket, chunk in pending:
+            yield self._assemble(bucket, chunk)
+
+    def _assemble(self, bucket: int, chunk: list[tuple[int, int, int]]) -> Batch:
+        B = len(chunk)
+        max_tgt = max((len(self._encoded[idx]) for idx, _, _ in chunk), default=1)
+        L = max(_round_up(max_tgt, self.target_pad_multiple), self.target_pad_multiple)
+
+        waves = np.zeros((B, bucket), np.float32)
+        wave_lens = np.zeros(B, np.int32)
+        prev_samples = np.zeros(B, np.float32)
+        targets = np.zeros((B, L), np.int32)
+        target_lens = np.zeros(B, np.int32)
+        paths, texts = [], []
+
+        for i, (idx, offset, length) in enumerate(chunk):
+            entry = self.entries[idx]
+            samples, sr = read_audio(entry.audio_filepath, mono=True)
+            if sr != self.sample_rate:
+                raise ValueError(
+                    f"{entry.audio_filepath}: sample rate {sr} != {self.sample_rate} "
+                    "(run the prep scripts to resample)"
+                )
+            wave = samples[0]
+            # actual file length may differ slightly from manifest duration
+            n = wave.shape[0]
+            off = min(offset, max(n - 1, 0))
+            ln = min(length, n - off)
+            crop = wave[off : off + ln]
+            waves[i, : crop.shape[0]] = crop
+            wave_lens[i] = crop.shape[0]
+            prev_samples[i] = wave[off - 1] if off > 0 else 0.0
+
+            t = self._encoded[idx]
+            targets[i, : len(t)] = t
+            target_lens[i] = len(t)
+            paths.append(entry.audio_filepath)
+            texts.append(entry.text)
+
+        return Batch(waves, wave_lens, prev_samples, targets, target_lens, paths, texts)
+
+
+def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Run the batch assembly in a background thread (double buffering)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item

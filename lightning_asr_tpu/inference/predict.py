@@ -1,0 +1,176 @@
+"""Offline inference API — the reference's ``AsrTranslator`` surface
+(``/root/reference/predict.py:21-74``): load a checkpoint, transcribe a wav
+path or BytesIO, evaluate a manifest; plus the SSL-translator extras
+(confidence scores, LM beam-search fusion, per-utterance CSV stats —
+``predict.py:76-189``).
+
+TPU-native design: the checkpoint carries its hyperparameters
+(labels/encoder/in_c), so construction needs no config.  Single-utterance
+inference pads the waveform to a small set of bucket lengths so repeated
+calls reuse compiled graphs; an optional beam-search decoder (native C++
+with n-gram LM) replaces greedy decoding when provided.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import time
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.audio import read_audio
+from ..data.manifest import read_manifests
+from ..data.vocab import Vocabulary
+from ..decoding.greedy import greedy_decode_to_strings
+from ..metrics.wer import WER
+from ..models import build_model
+from ..ops.frontend import MelFrontendConfig, log_mel_spectrogram, normalize_features
+from ..training.checkpoint import load_checkpoint
+from ..training.steps import AsrTrainState
+
+logger = logging.getLogger(__name__)
+
+_BUCKET_SECONDS = (2.0, 4.0, 8.0, 16.0, 24.0, 32.0, 40.0)
+
+
+class AsrTranslator:
+    """Checkpoint -> text transcription.
+
+    Args:
+      model_path: checkpoint directory (as written by CheckpointManager).
+      labels: override vocabulary (defaults to the checkpoint's hparams).
+      lang: 'en' or 'cn' — only used to pick default labels when the
+        checkpoint carries none (the reference hardcodes English labels,
+        ``predict.py:31-32``).
+      beam_decoder: optional object with ``forward(log_probs, lengths) ->
+        [str]`` (duck-typed to BeamSearchDecoderWithLM).
+    """
+
+    EN_LABELS = [" ", "'"] + [chr(ord("a") + i) for i in range(26)]
+
+    def __init__(
+        self,
+        model_path: Union[str, Path],
+        labels: Optional[Sequence[str]] = None,
+        lang: str = "en",
+        beam_decoder=None,
+        frontend: MelFrontendConfig = MelFrontendConfig(dither=0.0),
+        return_confidence: bool = False,
+    ):
+        t0 = time.time()
+        state_raw, meta = load_checkpoint(model_path)
+        hparams = meta.get("hparams", {})
+        if labels is None:
+            labels = hparams.get("labels") or self.EN_LABELS
+        self.vocab = Vocabulary(list(labels), bool(hparams.get("use_cer", lang == "cn")))
+        self.frontend = frontend
+        self.beam_decoder = beam_decoder
+        self.return_confidence = return_confidence
+
+        self.model = build_model(
+            num_classes=self.vocab.num_classes,
+            encoder=hparams.get("encoder", "quartznet12_context"),
+            in_c=hparams.get("in_c", 64),
+            drop_rate=float(hparams.get("drop_rate", 0.0)),
+            mask=bool(hparams.get("mask", True)),
+            feature_in=hparams.get("feature_in"),
+        )
+        self.params = state_raw["params"]
+        self.batch_stats = state_raw.get("batch_stats", {})
+        self._jit_forward = jax.jit(self._forward)
+        logger.info("loaded checkpoint in %.2fs", time.time() - t0)
+
+    # ------------------------------------------------------------------
+    def _forward(self, waves, wave_lens):
+        feats, feat_lens = log_mel_spectrogram(waves, wave_lens, self.frontend, rng=None)
+        feats = normalize_features(feats, feat_lens)
+        percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
+        log_probs, out_lens = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            feats, percents, False,
+        )
+        return log_probs, out_lens
+
+    def _bucket_len(self, n: int) -> int:
+        for s in _BUCKET_SECONDS:
+            b = int(s * self.frontend.sample_rate)
+            if n <= b:
+                return b
+        return n
+
+    def transcribe_batch(self, waves: List[np.ndarray]) -> List[str]:
+        """Transcribe a list of 1-D float32 waveforms."""
+        n_max = self._bucket_len(max(w.shape[0] for w in waves))
+        batch = np.zeros((len(waves), n_max), np.float32)
+        lens = np.zeros(len(waves), np.int32)
+        for i, w in enumerate(waves):
+            batch[i, : w.shape[0]] = w
+            lens[i] = w.shape[0]
+        log_probs, out_lens = self._jit_forward(jnp.asarray(batch), jnp.asarray(lens))
+        if self.beam_decoder is not None:
+            texts = self.beam_decoder.forward(np.asarray(log_probs), np.asarray(out_lens))
+        else:
+            preds = jnp.argmax(log_probs, axis=-1)
+            texts = greedy_decode_to_strings(preds, out_lens, self.vocab.labels, self.vocab.blank_id)
+        if self.return_confidence:
+            from ..ssl_codec.confidence import sum_logprob
+
+            conf = sum_logprob(np.asarray(log_probs), np.asarray(out_lens), self.vocab.blank_id)
+            return list(zip(texts, conf.tolist()))
+        return texts
+
+    def translate(self, audio: Union[str, Path, bytes, io.BytesIO]) -> str:
+        """Transcribe one utterance from a path / bytes / BytesIO
+        (``predict.py:43-62,198-200``)."""
+        t0 = time.time()
+        samples, sr = read_audio(audio, mono=True)
+        if sr != self.frontend.sample_rate:
+            raise ValueError(f"expected {self.frontend.sample_rate} Hz audio, got {sr}")
+        t1 = time.time()
+        out = self.transcribe_batch([samples[0]])[0]
+        logger.info("load %.3fs  compute+decode %.3fs", t1 - t0, time.time() - t1)
+        return out
+
+    # ------------------------------------------------------------------
+    def evaluate_manifest(
+        self,
+        manifest_path: Union[str, Path],
+        batch_size: int = 16,
+        max_duration: float = 40.0,
+        csv_path: Optional[Union[str, Path]] = None,
+    ) -> dict:
+        """Batch-evaluate a JSONL manifest; returns corpus WER/CER
+        (``predict.py:64-74,135-189``).  With ``csv_path``, dumps
+        per-utterance WER (and confidence when enabled) like the reference's
+        confidence-vs-WER stats CSV."""
+        entries = read_manifests(manifest_path, max_duration)
+        metric = WER(self.vocab.labels, self.vocab.use_cer)
+        rows = []
+        for i in range(0, len(entries), batch_size):
+            chunk = entries[i : i + batch_size]
+            waves = []
+            for e in chunk:
+                samples, _ = read_audio(e.audio_filepath, mono=True)
+                waves.append(samples[0])
+            results = self.transcribe_batch(waves)
+            for e, res in zip(chunk, results):
+                text, conf = (res if isinstance(res, tuple) else (res, None))
+                utt_wer = metric.update([text], [e.text])
+                rows.append((e.audio_filepath, e.text, text, utt_wer, conf))
+        overall = metric.compute()
+        if csv_path:
+            import csv
+
+            with open(csv_path, "w", newline="", encoding="utf-8") as f:
+                w = csv.writer(f)
+                w.writerow(["audio_filepath", "reference", "hypothesis", "wer", "confidence"])
+                w.writerows(rows)
+        tag = "cer" if self.vocab.use_cer else "wer"
+        logger.info("manifest %s: %s=%.4f over %d utts", manifest_path, tag, overall, len(rows))
+        return {tag: overall, "n_utterances": len(rows)}

@@ -1,0 +1,113 @@
+"""HTTP transcription server — the reference's Flask app
+(``/root/reference/server/app.py``): model loaded once at startup,
+``POST /`` with a multipart form file field ``audio`` returns the
+transcription.
+
+Uses Flask when installed; otherwise falls back to a stdlib
+``http.server`` implementation with identical request/response semantics,
+so the server works in dependency-free environments.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import re
+from typing import Optional
+
+from .predict import AsrTranslator
+
+logger = logging.getLogger(__name__)
+
+
+def _parse_multipart_file(body: bytes, content_type: str, field: str = "audio") -> Optional[bytes]:
+    """Minimal multipart/form-data parser for one file field."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        return None
+    boundary = b"--" + m.group(1).encode()
+    for part in body.split(boundary):
+        if b"Content-Disposition" not in part:
+            continue
+        header_end = part.find(b"\r\n\r\n")
+        if header_end < 0:
+            continue
+        headers = part[:header_end].decode("utf-8", "replace")
+        if f'name="{field}"' not in headers:
+            continue
+        payload = part[header_end + 4 :]
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
+        return payload
+    return None
+
+
+def create_flask_app(translator: AsrTranslator):
+    from flask import Flask, request  # type: ignore
+
+    app = Flask(__name__)
+
+    @app.route("/", methods=["POST"])
+    def transcribe():  # pragma: no cover - exercised via stdlib path in tests
+        file = request.files["audio"]
+        data = io.BytesIO()
+        file.save(data)
+        return translator.translate(data)
+
+    return app
+
+
+def serve(
+    model_path: str,
+    host: str = "0.0.0.0",
+    port: int = 5000,
+    translator: Optional[AsrTranslator] = None,
+    use_flask: Optional[bool] = None,
+):
+    """Start the server (blocking)."""
+    translator = translator or AsrTranslator(model_path)
+    if use_flask is None:
+        try:
+            import flask  # noqa: F401
+
+            use_flask = True
+        except ImportError:
+            use_flask = False
+
+    if use_flask:  # pragma: no cover
+        create_flask_app(translator).run(host=host, port=port)
+        return
+
+    make_stdlib_server(translator, host, port).serve_forever()
+
+
+def make_stdlib_server(translator: AsrTranslator, host: str = "127.0.0.1", port: int = 0):
+    """stdlib HTTP server exposing the same POST / contract (testable)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                payload = _parse_multipart_file(
+                    body, self.headers.get("Content-Type", ""), "audio"
+                )
+                if payload is None:
+                    self.send_error(400, "missing form file field 'audio'")
+                    return
+                text = translator.translate(io.BytesIO(payload))
+                data = text.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:  # pragma: no cover
+                logger.exception("transcription failed")
+                self.send_error(500, str(e))
+
+        def log_message(self, fmt, *args):
+            logger.info("server: " + fmt, *args)
+
+    return ThreadingHTTPServer((host, port), Handler)

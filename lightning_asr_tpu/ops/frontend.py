@@ -226,5 +226,5 @@ def normalize_features(feats: jnp.ndarray, feat_lens: jnp.ndarray) -> jnp.ndarra
     m3 = mask[:, :, None]
     mean = jnp.sum(feats * m3, axis=(1, 2), keepdims=True) / n
     var = jnp.sum(((feats - mean) * m3) ** 2, axis=(1, 2), keepdims=True) / jnp.maximum(n - 1.0, 1.0)
-    out = (feats - mean) / jnp.sqrt(var)
+    out = (feats - mean) / jnp.sqrt(jnp.maximum(var, 1e-20))
     return out * m3

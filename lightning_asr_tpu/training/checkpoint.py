@@ -1,0 +1,106 @@
+"""Checkpointing: orbax-backed, top-k by val_wer + last, resume, and
+config-free loading for inference.
+
+Reference behavior mirrored (``/root/reference/train.py:210-212,237``):
+``ModelCheckpoint(monitor='val_wer', save_top_k=3, save_last=True,
+filename='asr-{epoch:02d}-{val_wer:.2f}')`` and ``resume_from_checkpoint``;
+hyperparameters ride inside the checkpoint (``save_hyperparameters``,
+``train.py:194``) so ``load_from_checkpoint`` needs no config
+(``predict.py:37``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, top_k: int = 3, monitor: str = "val_wer"):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.top_k = top_k
+        self.monitor = monitor
+        self._ckpt = ocp.StandardCheckpointer()
+        self._index_path = self.directory / "index.json"
+        self._index = self._load_index()
+
+    def _load_index(self) -> dict:
+        if self._index_path.exists():
+            return json.loads(self._index_path.read_text())
+        return {"saved": [], "last": None}
+
+    def _write_index(self) -> None:
+        self._index_path.write_text(json.dumps(self._index, indent=2))
+
+    def _save_tree(self, path: Path, state: Any, metadata: dict) -> None:
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path / "state", state)
+        self._ckpt.wait_until_finished()
+        (path / "metadata.json").write_text(json.dumps(metadata, indent=2, default=str))
+
+    def save(self, state: Any, epoch: int, metrics: dict, hparams: Optional[dict] = None) -> None:
+        """Save 'last' always; keep the top-k best by the monitored metric."""
+        state = jax.device_get(state)
+        metadata = {"epoch": epoch, "metrics": {k: float(v) for k, v in metrics.items()},
+                    "hparams": hparams or {}}
+
+        self._save_tree(self.directory / "last", state, metadata)
+        self._index["last"] = "last"
+
+        score = metrics.get(self.monitor)
+        if score is not None and math.isfinite(float(score)):
+            name = f"asr-epoch{epoch:02d}-{self.monitor}{float(score):.2f}"
+            self._save_tree(self.directory / name, state, metadata)
+            self._index["saved"].append({"name": name, "score": float(score), "epoch": epoch})
+            self._index["saved"].sort(key=lambda e: e["score"])
+            while len(self._index["saved"]) > self.top_k:
+                worst = self._index["saved"].pop()
+                worst_path = self.directory / worst["name"]
+                if worst_path.exists():
+                    shutil.rmtree(worst_path)
+        self._write_index()
+
+    @property
+    def best(self) -> Optional[str]:
+        if self._index["saved"]:
+            return str(self.directory / self._index["saved"][0]["name"])
+        return None
+
+    @property
+    def last(self) -> Optional[str]:
+        p = self.directory / "last"
+        return str(p) if p.exists() else None
+
+    def restore(self, target_state: Any, which: str = "last") -> tuple[Any, dict]:
+        """Restore into the structure of `target_state` (abstract template)."""
+        path = Path(which)
+        if not path.is_absolute():
+            path = self.directory / which
+        return load_checkpoint(path, target_state)
+
+
+def load_checkpoint(path: str | Path, target_state: Any = None) -> tuple[Any, dict]:
+    """Load (state, metadata) from a checkpoint directory.
+
+    With ``target_state`` the restore matches its tree structure/dtypes
+    (robust); without it, orbax restores the raw saved pytree.
+    """
+    path = Path(path).resolve()
+    ckpt = ocp.StandardCheckpointer()
+    if target_state is not None:
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(target_state))
+        state = ckpt.restore(path / "state", template)
+    else:
+        state = ckpt.restore(path / "state")
+    meta_path = path / "metadata.json"
+    metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return state, metadata

@@ -1,0 +1,167 @@
+"""Jitted train/eval steps — frontend + model + CTC + optimizer in ONE graph.
+
+The reference splits work host/device: CPU dataloader workers compute mels,
+the GPU runs forward/backward, python steps the optimizer and scheduler
+(``/root/reference/train.py:64-86``).  Here one jitted function consumes raw
+waveform batches and performs: dither/preemph/STFT/mel/dB (on MXU),
+SpecAugment, normalization, the QuartzNet forward, CTC loss, backward,
+NovoGrad + schedule — fused by XLA with zero host round-trips per step.
+
+Data parallelism: the Trainer device_puts batch arrays with a ``data``-axis
+sharding and keeps state replicated; XLA inserts the gradient all-reduce
+over ICI from those annotations (pjit "computation follows sharding").
+
+NaN guard (SURVEY §5.3 — the reference documents NaN loss as a real failure
+mode on 960h): when the loss is non-finite the whole state update is skipped
+in-graph and a counter increments, so one bad batch cannot poison training.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.augment import spec_augment
+from ..ops.ctc import ctc_loss
+from ..ops.frontend import MelFrontendConfig, log_mel_spectrogram, normalize_features
+
+
+@flax.struct.dataclass
+class AsrTrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    nan_count: jnp.ndarray
+
+
+def create_train_state(model, optimizer, rng, feature_shape=(1, 320, 64)) -> AsrTrainState:
+    """Initialize parameters/batch stats with a dummy batch."""
+    dummy = jnp.zeros(feature_shape, jnp.float32)
+    percents = jnp.ones((feature_shape[0],), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy, percents, False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return AsrTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        nan_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    blank_id: int,
+    frontend: MelFrontendConfig = MelFrontendConfig(),
+    augment: bool = True,
+    freq_mask: float | int = 27,
+    time_mask: float | int = 0.07,
+    from_features: bool = False,
+) -> Callable:
+    """Build the jitted train step.
+
+    If ``from_features`` the batch carries precomputed features
+    (``waves`` = (B, T, F), ``wave_lens`` = frame counts) — the SSL path.
+    """
+
+    def train_step(state: AsrTrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        r_dither, r_spec, r_drop = jax.random.split(step_rng, 3)
+
+        if from_features:
+            feats, feat_lens = batch["waves"], batch["wave_lens"]
+        else:
+            feats, feat_lens = log_mel_spectrogram(
+                batch["waves"], batch["wave_lens"], frontend,
+                rng=r_dither if frontend.dither > 0 else None,
+                prev_samples=batch.get("prev_samples"),
+            )
+        if augment:
+            feats = spec_augment(feats, feat_lens, r_spec, freq_mask, time_mask)
+        feats = normalize_features(feats, feat_lens)
+        percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
+
+        def loss_fn(params):
+            (log_probs, out_lens), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats, percents, True,
+                rngs={"dropout": r_drop},
+                mutable=["batch_stats"],
+            )
+            loss = jnp.mean(
+                ctc_loss(log_probs, out_lens, batch["targets"], batch["target_lens"], blank_id)
+            )
+            return loss, (mutated["batch_stats"], log_probs, out_lens)
+
+        (loss, (new_stats, log_probs, out_lens)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        finite = jnp.isfinite(loss)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(finite, a, b), new, old
+        )
+        state = AsrTrainState(
+            step=state.step + 1,
+            params=keep(new_params, state.params),
+            batch_stats=keep(new_stats, state.batch_stats),
+            opt_state=keep(new_opt_state, state.opt_state),
+            nan_count=state.nan_count + jnp.where(finite, 0, 1),
+        )
+        grad_norm = optax.global_norm(grads)
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "finite": finite,
+            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
+            "pred_lens": out_lens,
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model,
+    blank_id: int,
+    frontend: MelFrontendConfig = MelFrontendConfig(),
+    from_features: bool = False,
+) -> Callable:
+    """Eval step: forward in eval mode (running BN stats, no dropout, no
+    dither/augment), per-sample CTC losses + argmax for host-side WER."""
+
+    def eval_step(state: AsrTrainState, batch: dict):
+        if from_features:
+            feats, feat_lens = batch["waves"], batch["wave_lens"]
+        else:
+            feats, feat_lens = log_mel_spectrogram(
+                batch["waves"], batch["wave_lens"], frontend, rng=None,
+                prev_samples=batch.get("prev_samples"),
+            )
+        feats = normalize_features(feats, feat_lens)
+        percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
+
+        log_probs, out_lens = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats, percents, False,
+        )
+        losses = ctc_loss(log_probs, out_lens, batch["targets"], batch["target_lens"], blank_id)
+        return {
+            "losses": losses,
+            "log_probs": log_probs,
+            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
+            "pred_lens": out_lens,
+        }
+
+    return eval_step

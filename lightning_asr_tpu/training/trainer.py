@@ -1,0 +1,242 @@
+"""Trainer — the training system tying data, model, optimizer, parallelism,
+checkpoints, loggers and the profiler together.
+
+Capabilities mirrored from the reference's pl.Trainer usage
+(``/root/reference/train.py:201-253``): epoch loop with per-step LR
+scheduling, val every N epochs with val_wer/val_loss, top-3 + last
+checkpointing on val_wer, resume, LR monitoring, per-50-batch decoded sample
+logging (``train.py:82-85``), a simple profiler report, and a final test
+pass.  TPU-native behaviors: one jitted graph per duration bucket (static
+shapes), batches sharded over the ``data`` mesh axis (DDP analog: XLA psum
+over ICI), background host prefetch, in-graph NaN-skip guard.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datamodule import AsrDataModule
+from ..data.pipeline import Batch, prefetch
+from ..decoding.greedy import greedy_decode_to_strings
+from ..metrics.wer import WER
+from ..ops.frontend import MelFrontendConfig
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from .checkpoint import CheckpointManager
+from .loggers import BaseLogger, MultiLogger
+from .profiler import SimpleProfiler
+from .steps import AsrTrainState, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        optimizer,
+        datamodule: AsrDataModule,
+        total_epochs: int = 100,
+        check_val_every_n_epoch: int = 1,
+        log_every_n_steps: int = 10,
+        sample_log_every_n_batches: int = 50,
+        train_wer_every_n_steps: int = 10,
+        run_dir: str | Path = "outputs/run",
+        loggers: Optional[BaseLogger] = None,
+        lr_schedule: Optional[Callable] = None,
+        frontend: MelFrontendConfig = MelFrontendConfig(),
+        augment: bool = True,
+        mesh=None,
+        checkpoint_top_k: int = 3,
+        seed: int = 0,
+        hparams: Optional[dict] = None,
+        from_features: bool = False,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.dm = datamodule
+        self.vocab = datamodule.vocab
+        self.total_epochs = total_epochs
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.log_every_n_steps = log_every_n_steps
+        self.sample_log_every_n_batches = sample_log_every_n_batches
+        self.train_wer_every_n_steps = train_wer_every_n_steps
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.loggers = loggers or MultiLogger([])
+        self.lr_schedule = lr_schedule
+        self.frontend = frontend
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+        self.hparams = hparams or {}
+        self.rng = jax.random.PRNGKey(seed)
+        self.profiler = SimpleProfiler()
+        self.wer = WER(self.vocab.labels, self.vocab.use_cer)
+        self.checkpoints = CheckpointManager(self.run_dir / "checkpoints", checkpoint_top_k)
+        self.epoch = 0
+        self.from_features = from_features
+
+        self._train_step = jax.jit(
+            make_train_step(
+                model, optimizer, self.vocab.blank_id, frontend,
+                augment=augment, from_features=from_features,
+            ),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(model, self.vocab.blank_id, frontend, from_features=from_features)
+        )
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> AsrTrainState:
+        from .steps import create_train_state
+
+        feat_dim = getattr(self.model, "feature_in", None) or getattr(self.model, "in_c", 64)
+        state = create_train_state(
+            self.model, self.optimizer, self.rng, feature_shape=(1, 320, feat_dim)
+        )
+        return jax.device_put(state, self._replicated)
+
+    def _device_batch(self, batch: Batch) -> dict:
+        n_dev = self.mesh.devices.size
+        arrays = {
+            "waves": batch.waves,
+            "wave_lens": batch.wave_lens,
+            "prev_samples": batch.prev_samples,
+            "targets": batch.targets,
+            "target_lens": batch.target_lens,
+        }
+        B = batch.waves.shape[0]
+        if B % n_dev != 0:  # pad rows to a multiple of mesh size (eval tail)
+            padded_B = -(-B // n_dev) * n_dev
+            arrays = {
+                k: np.concatenate([v, np.zeros((padded_B - B,) + v.shape[1:], v.dtype)])
+                for k, v in arrays.items()
+            }
+            # zero-length rows break per-utterance normalization; keep 1 sample
+            arrays["wave_lens"][B:] = 160
+        return {k: jax.device_put(v, self._batch_sharding) for k, v in arrays.items()}
+
+    # ------------------------------------------------------------------
+    def fit(self, resume: Optional[str] = None) -> AsrTrainState:
+        state = self.init_state()
+        start_epoch = 0
+        if resume:
+            state, meta = self.checkpoints.restore(state, resume)
+            state = jax.device_put(state, self._replicated)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            logger.info("resumed from %s at epoch %d", resume, start_epoch)
+
+        self.loggers.log_hyperparams(self.hparams)
+        n_params = sum(p.size for p in jax.tree.leaves(state.params))
+        logger.info("model parameters: %.2fM", n_params / 1e6)
+
+        for epoch in range(start_epoch, self.total_epochs):
+            self.epoch = epoch
+            state = self._train_epoch(state, epoch)
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val_metrics = self.validate(state)
+                self.loggers.log_metrics(val_metrics, int(state.step))
+                self.checkpoints.save(state, epoch, val_metrics, self.hparams)
+                self.on_validation_end(state, epoch, val_metrics)
+        print(self.profiler.summary())
+        return state
+
+    # Hook for subclasses (e.g. the SSL pseudo-labeling trainer).
+    def on_validation_end(self, state, epoch, val_metrics) -> None:
+        pass
+
+    def on_train_epoch_end(self, state, epoch) -> None:
+        pass
+
+    def _train_epoch(self, state: AsrTrainState, epoch: int) -> AsrTrainState:
+        batcher = self.dm.train_dataloader(epoch)
+        t_epoch = time.monotonic()
+        audio_seconds = 0.0
+        n_batches = 0
+        for i, batch in enumerate(prefetch(iter(batcher), self.dm.prefetch_depth)):
+            with self.profiler.profile("train_step"):
+                dev_batch = self._device_batch(batch)
+                state, metrics = self._train_step(state, dev_batch, self.rng)
+            audio_seconds += batch.audio_seconds
+            n_batches += 1
+            step = int(state.step)
+
+            if step % self.log_every_n_steps == 0:
+                with self.profiler.profile("train_logging"):
+                    log = {
+                        "train_loss": float(metrics["loss"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "nan_count": float(state.nan_count),
+                        "epoch": epoch,
+                    }
+                    if self.lr_schedule is not None:
+                        log["lr"] = float(self.lr_schedule(step - 1))
+                    if step % max(self.train_wer_every_n_steps, 1) == 0:
+                        hyps = greedy_decode_to_strings(
+                            metrics["preds"], metrics["pred_lens"],
+                            self.vocab.labels, self.vocab.blank_id)
+                        refs = self.wer.decode_reference(batch.targets, batch.target_lens)
+                        log["train_wer"] = WER(self.vocab.labels, self.vocab.use_cer).update(
+                            hyps[: batch.size], refs)
+                    self.loggers.log_metrics(log, step)
+
+            if i % self.sample_log_every_n_batches == 0:
+                hyps = greedy_decode_to_strings(
+                    metrics["preds"], metrics["pred_lens"], self.vocab.labels, self.vocab.blank_id)
+                refs = self.wer.decode_reference(batch.targets, batch.target_lens)
+                logger.info("pred: %s", hyps[0])
+                logger.info("true: %s", refs[0])
+
+        dt = time.monotonic() - t_epoch
+        logger.info(
+            "epoch %d: %d batches, %.1fs, %.1f audio-sec/sec",
+            epoch, n_batches, dt, audio_seconds / max(dt, 1e-9),
+        )
+        self.on_train_epoch_end(state, epoch)
+        return state
+
+    # ------------------------------------------------------------------
+    def _eval_loop(self, state: AsrTrainState, batcher, tag: str) -> dict:
+        metric = WER(self.vocab.labels, self.vocab.use_cer)
+        batch_wers = []
+        losses = []
+        for i, batch in enumerate(prefetch(iter(batcher), self.dm.prefetch_depth)):
+            with self.profiler.profile(f"{tag}_step"):
+                out = self._eval_step(state, self._device_batch(batch))
+            n = batch.size
+            losses.extend(np.asarray(out["losses"])[:n].tolist())
+            hyps = greedy_decode_to_strings(
+                out["preds"], out["pred_lens"], self.vocab.labels, self.vocab.blank_id)[:n]
+            refs = self.wer.decode_reference(batch.targets, batch.target_lens)
+            batch_wers.append(metric.update(hyps, refs))
+            if i % self.sample_log_every_n_batches == 0:
+                logger.info("[%s] pred: %s", tag, hyps[0])
+                logger.info("[%s] true: %s", tag, refs[0])
+        mean_batch_wer = float(np.mean(batch_wers)) if batch_wers else float("inf")
+        return {
+            f"{tag}_loss": float(np.mean(losses)) if losses else float("inf"),
+            # the reference logs the epoch mean of batch WERs (train.py:147-168)
+            f"{tag}_wer": mean_batch_wer,
+            # corpus-level WER (sum errors / sum words) — the better statistic
+            f"{tag}_wer_corpus": metric.compute(),
+        }
+
+    def validate(self, state: AsrTrainState) -> dict:
+        metrics = self._eval_loop(state, self.dm.val_dataloader(), "val")
+        logger.info("validation: %s", metrics)
+        return metrics
+
+    def test(self, state: AsrTrainState) -> dict:
+        metrics = self._eval_loop(state, self.dm.test_dataloader(), "test")
+        logger.info("test: %s", metrics)
+        self.loggers.log_metrics(metrics, int(state.step))
+        return metrics
