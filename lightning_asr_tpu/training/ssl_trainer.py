@@ -1,0 +1,70 @@
+"""SSL training with pseudo-labeling — the reference's ``SSLLightingModule``
+loop (``/root/reference/train_ssl.py``):
+
+  * model: ``feature_mapping`` Linear 512->64 + QuartNet12-context with
+    ``in_c=64`` (:42, :315-316) — our ``AsrModel(feature_in=512)``;
+  * train-time augmentation: features_cutout instead of SpecAugment
+    (``ssl_data_module.py:317-318``), no per-utterance normalization;
+  * **pseudo-labeling** at epoch end (:223-260): gated on
+    ``epoch >= pseudo_start_epoch (300) and epoch % pseudo_every (7) == 0``;
+    greedy-decode the unlabeled pool, score confidence, keep utterances
+    with score <= 0.01, inject as extra training data and rebuild the train
+    loader (the confidence math is vectorized — no thread pool needed).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..data.pipeline import prefetch
+from ..decoding.greedy import greedy_decode_to_strings
+from ..ssl_codec.confidence import sum_logprob
+from .trainer import Trainer
+
+logger = logging.getLogger(__name__)
+
+
+class SSLTrainer(Trainer):
+    def __init__(
+        self,
+        *args,
+        pseudo_start_epoch: int = 300,
+        pseudo_every_n_epochs: int = 7,
+        pseudo_confidence_threshold: float = 0.01,
+        **kwargs,
+    ):
+        kwargs.setdefault("from_features", True)
+        kwargs.setdefault("augment", "cutout")
+        kwargs.setdefault("normalize", False)
+        super().__init__(*args, **kwargs)
+        self.pseudo_start_epoch = pseudo_start_epoch
+        self.pseudo_every_n_epochs = pseudo_every_n_epochs
+        self.pseudo_confidence_threshold = pseudo_confidence_threshold
+
+    def on_train_epoch_end(self, state, epoch) -> None:
+        if epoch < self.pseudo_start_epoch or epoch % self.pseudo_every_n_epochs != 0:
+            return
+        if not getattr(self.dm, "unlabeled_entries", None):
+            return
+        logger.info("pseudo-labeling pass at epoch %d", epoch)
+        kept = []
+        total = 0
+        for batch in prefetch(iter(self.dm.pseudo_train_dataloader()), self.dm.prefetch_depth):
+            out = self._eval_step(state, self._device_batch(batch))
+            n = batch.size
+            texts = greedy_decode_to_strings(
+                out["preds"], out["pred_lens"], self.vocab.labels, self.vocab.blank_id
+            )[:n]
+            conf = sum_logprob(np.asarray(out["log_probs"])[:n], np.asarray(out["pred_lens"])[:n])
+            for path, text, c in zip(batch.paths, texts, conf):
+                total += 1
+                if c <= self.pseudo_confidence_threshold and text.strip():
+                    kept.append((path, text))
+        logger.info("pseudo-labeling: kept %d / %d (%.1f%%)",
+                    len(kept), total, 100.0 * len(kept) / max(total, 1))
+        self.loggers.log_metrics(
+            {"pseudo_kept": len(kept), "pseudo_total": total}, int(state.step))
+        if kept:
+            self.dm.inject_pseudo_datasets(kept)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.augment import spec_augment
+from ..ops.augment import cutout, spec_augment
 from ..ops.ctc import ctc_loss
 from ..ops.frontend import MelFrontendConfig, log_mel_spectrogram, normalize_features
 
@@ -61,16 +61,25 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     blank_id: int,
     frontend: MelFrontendConfig = MelFrontendConfig(),
-    augment: bool = True,
+    augment: bool | str | None = True,
     freq_mask: float | int = 27,
     time_mask: float | int = 0.07,
     from_features: bool = False,
+    normalize: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
     If ``from_features`` the batch carries precomputed features
-    (``waves`` = (B, T, F), ``wave_lens`` = frame counts) — the SSL path.
+    (``waves`` = (B, T, F), ``wave_lens`` = frame counts) — the SSL path,
+    which uses ``augment='cutout'`` (features_cutout, 5 rects up to 150x100,
+    ``ssl_data_module.py:332-350``) and no per-utterance normalization.
+    ``augment`` True/'specaugment' applies the mel SpecAugment; None/False
+    disables augmentation.
     """
+    if augment is True:
+        augment = "specaugment"
+    elif augment is False:
+        augment = None
 
     def train_step(state: AsrTrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -84,9 +93,12 @@ def make_train_step(
                 rng=r_dither if frontend.dither > 0 else None,
                 prev_samples=batch.get("prev_samples"),
             )
-        if augment:
+        if augment == "specaugment":
             feats = spec_augment(feats, feat_lens, r_spec, freq_mask, time_mask)
-        feats = normalize_features(feats, feat_lens)
+        elif augment == "cutout":
+            feats = cutout(feats, r_spec, rect_masks=5, rect_freq=150, rect_time=100)
+        if normalize:
+            feats = normalize_features(feats, feat_lens)
         percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
 
         def loss_fn(params):
@@ -137,6 +149,7 @@ def make_eval_step(
     blank_id: int,
     frontend: MelFrontendConfig = MelFrontendConfig(),
     from_features: bool = False,
+    normalize: bool = True,
 ) -> Callable:
     """Eval step: forward in eval mode (running BN stats, no dropout, no
     dither/augment), per-sample CTC losses + argmax for host-side WER."""
@@ -149,7 +162,8 @@ def make_eval_step(
                 batch["waves"], batch["wave_lens"], frontend, rng=None,
                 prev_samples=batch.get("prev_samples"),
             )
-        feats = normalize_features(feats, feat_lens)
+        if normalize:
+            feats = normalize_features(feats, feat_lens)
         percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
 
         log_probs, out_lens = model.apply(

@@ -51,7 +51,8 @@ class Trainer:
         loggers: Optional[BaseLogger] = None,
         lr_schedule: Optional[Callable] = None,
         frontend: MelFrontendConfig = MelFrontendConfig(),
-        augment: bool = True,
+        augment: bool | str | None = True,
+        normalize: bool = True,
         mesh=None,
         checkpoint_top_k: int = 3,
         seed: int = 0,
@@ -85,12 +86,13 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(
                 model, optimizer, self.vocab.blank_id, frontend,
-                augment=augment, from_features=from_features,
+                augment=augment, from_features=from_features, normalize=normalize,
             ),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            make_eval_step(model, self.vocab.blank_id, frontend, from_features=from_features)
+            make_eval_step(model, self.vocab.blank_id, frontend,
+                           from_features=from_features, normalize=normalize)
         )
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)

@@ -1,0 +1,110 @@
+"""SSL path: confidence scoring vs the reference's per-frame loop, offline
+feature batching, pseudo-label injection plumbing."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from lightning_asr_tpu.data.vocab import Vocabulary
+from lightning_asr_tpu.ssl_codec.confidence import seq_sum_logprob, sum_logprob
+from lightning_asr_tpu.ssl_codec.ssl_datamodule import SSLBucketBatcher, SSLDataModule
+
+
+def reference_confidence_loop(log_probs, length, blank_check_value):
+    """The reference's scalar loop (ssl_codec/utils.py:8-28)."""
+    am = log_probs.argmax(axis=-1)
+    mx = log_probs.max(axis=-1)
+    total = -1e-5
+    count = 0.0
+    for j in range(length):
+        if am[j] == blank_check_value:
+            continue
+        total += mx[j]
+        count += 1
+    return -(total / (count + 1e-6))
+
+
+@pytest.mark.parametrize("use_blank_id", [None, 28])
+def test_confidence_matches_reference_loop(use_blank_id):
+    rng = np.random.default_rng(0)
+    B, T, C = 4, 37, 29
+    lp = np.log(rng.dirichlet(np.ones(C), size=(B, T)))
+    lens = np.array([37, 20, 5, 1])
+
+    # reference compares argmax against C (= num classes), which never fires;
+    # blank_id=None reproduces that, blank_id=28 is the intended behavior
+    check_value = C if use_blank_id is None else use_blank_id
+    golden = [reference_confidence_loop(lp[b], lens[b], check_value) for b in range(B)]
+    ours = sum_logprob(lp, lens, blank_id=use_blank_id)
+    np.testing.assert_allclose(ours, golden, rtol=1e-6)
+
+    idx, score = seq_sum_logprob((7, lp[0], int(lens[0])), blank_id=use_blank_id)
+    assert idx == 7
+    np.testing.assert_allclose(score, golden[0], rtol=1e-6)
+
+
+@pytest.fixture
+def ssl_corpus(tmp_path):
+    """Manifest + offline pkl features (no audio needed)."""
+    rng = np.random.default_rng(1)
+    entries = []
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    for i in range(10):
+        dur = float(rng.uniform(1.0, 3.0))
+        frames = int(dur * 50)
+        feats = rng.standard_normal((1, frames, 512)).astype(np.float32)
+        with open(feat_dir / f"utt{i}.pkl", "wb") as f:
+            pickle.dump(feats, f)
+        entries.append({
+            "audio_filepath": str(tmp_path / f"utt{i}.wav"),
+            "duration": dur,
+            "text": "cat dog",
+        })
+    manifest = tmp_path / "ssl_manifest.json"
+    with open(manifest, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return manifest, feat_dir
+
+
+def test_ssl_batcher_offline(ssl_corpus):
+    manifest, feat_dir = ssl_corpus
+    from lightning_asr_tpu.data.manifest import read_manifests
+
+    vocab = Vocabulary([" ", "a", "c", "d", "g", "o", "t"])
+    entries = read_manifests(manifest, 16.7)
+    batcher = SSLBucketBatcher(entries, vocab, batch_size=5, ssl_folder=feat_dir,
+                               train=True, bucket_seconds=(4.0,))
+    batches = list(batcher)
+    assert len(batches) == 2
+    for b in batches:
+        assert b.waves.shape == (5, 200, 512)  # 4s * 50fps
+        assert b.targets.shape[1] == 32
+        assert (b.wave_lens > 0).all()
+        # features at padded frames are zero
+        for i in range(5):
+            assert np.all(b.waves[i, b.wave_lens[i]:] == 0)
+
+
+def test_ssl_datamodule_pseudo_loader(ssl_corpus):
+    manifest, feat_dir = ssl_corpus
+    dm = SSLDataModule(
+        train_manifest=str(manifest), dev_manifest=str(manifest),
+        labels=[" ", "a", "c", "d", "g", "o", "t"], train_bs=5, dev_bs=5,
+        ssl_folder=str(feat_dir), pseudo_manifest=str(manifest),
+        bucket_seconds=(4.0,),
+    )
+    pseudo = dm.pseudo_train_dataloader()
+    assert len(list(pseudo)) == 2
+
+    # inject pseudo labels -> train set grows
+    n_before = len(list(dm.train_dataloader(0)))
+    dm.inject_pseudo_datasets([(e.audio_filepath, "cat", e.duration) for e in dm.unlabeled_entries[:5]])
+    n_after = len(list(dm.train_dataloader(0)))
+    assert n_after >= n_before
+    # re-injection replaces, not accumulates
+    dm.inject_pseudo_datasets([])
+    assert len(dm.pseudo_entries) == 0
