@@ -1,0 +1,107 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Builds ``native/ctc_decoder/ctc_beam_search.cpp`` into a shared library on
+first use (g++ -O3; cached under ``native/build/``).  Provides:
+  * the CTC prefix beam-search decoder with ARPA n-gram LM fusion
+    (the reference's SWIG ``ctc_decoders`` + KenLM stack)
+  * ``editdistance_eval`` — Levenshtein over token sequences (the
+    reference's ``editdistance`` C extension role)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "ctc_decoder" / "ctc_beam_search.cpp"
+_BUILD_DIR = _REPO_ROOT / "native" / "build"
+_LIB_PATH = _BUILD_DIR / "liblasr_native.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_error: Optional[str] = None
+
+
+def _build() -> None:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(_SRC), "-o", str(_LIB_PATH),
+    ]
+    logger.info("building native library: %s", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    """Load (building if needed) the native library."""
+    global _lib, _lib_error
+    if _lib is not None:
+        return _lib
+    if _lib_error is not None:
+        raise RuntimeError(f"native library unavailable: {_lib_error}")
+    try:
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except Exception as e:  # pragma: no cover
+        _lib_error = str(e)
+        raise RuntimeError(f"native library unavailable: {e}") from e
+
+    lib.lasr_lm_load.restype = ctypes.c_void_p
+    lib.lasr_lm_load.argtypes = [ctypes.c_char_p]
+    lib.lasr_lm_free.argtypes = [ctypes.c_void_p]
+    lib.lasr_lm_order.restype = ctypes.c_int
+    lib.lasr_lm_order.argtypes = [ctypes.c_void_p]
+    lib.lasr_lm_score_sentence.restype = ctypes.c_double
+    lib.lasr_lm_score_sentence.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.lasr_decoder_create.restype = ctypes.c_void_p
+    lib.lasr_decoder_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
+    lib.lasr_decoder_free.argtypes = [ctypes.c_void_p]
+    lib.lasr_decode.restype = ctypes.c_int
+    lib.lasr_decode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.lasr_decode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.lasr_editdistance.restype = ctypes.c_int
+    lib.lasr_editdistance.argtypes = [
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+def editdistance_eval(a: Sequence, b: Sequence) -> int:
+    """Levenshtein distance via the C++ kernel; tokens are hashed to ids."""
+    lib = get_lib()
+    table: dict = {}
+
+    def ids(seq):
+        out = (ctypes.c_int * len(seq))()
+        for i, tok in enumerate(seq):
+            out[i] = table.setdefault(tok, len(table))
+        return out
+
+    return lib.lasr_editdistance(ids(a), len(a), ids(b), len(b))
