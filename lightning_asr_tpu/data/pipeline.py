@@ -42,13 +42,14 @@ DEFAULT_BUCKET_SECONDS = (2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.7, 20.0, 30.0
 
 @dataclass
 class Batch:
-    waves: np.ndarray          # (B, S_bucket) float32
-    wave_lens: np.ndarray      # (B,) int32 true sample counts
+    waves: np.ndarray          # (B, S_bucket) float32 (or features (B, T, F))
+    wave_lens: np.ndarray      # (B,) int32 true sample/frame counts
     prev_samples: np.ndarray   # (B,) float32 sample preceding each crop
     targets: np.ndarray        # (B, L_bucket) int32 padded label ids
     target_lens: np.ndarray    # (B,) int32
     paths: List[str] = field(default_factory=list)
     texts: List[str] = field(default_factory=list)
+    extra: Optional[dict] = None  # extra device arrays (dual-stream raw audio)
 
     @property
     def size(self) -> int:

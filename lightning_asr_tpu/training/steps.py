@@ -144,6 +144,91 @@ def make_train_step(
     return train_step
 
 
+def make_dual_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    blank_id: int,
+    mel_frontend: MelFrontendConfig,
+    freq_mask: float | int = 27,
+    time_mask: float | int = 0.07,
+) -> Callable:
+    """Train step for the dual-stream SSL model (``train_ssl_double.py``):
+    wav2vec2 features from the host + mel computed on-device from the raw
+    waveform (20 ms hop), features_cutout on the wav2vec stream and
+    SpecAugment + per-utterance normalization on the mel stream."""
+
+    def train_step(state: AsrTrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        r_dither, r_spec, r_cut, r_drop = jax.random.split(step_rng, 4)
+
+        w2v, w2v_lens = batch["waves"], batch["wave_lens"]
+        mel, mel_lens = log_mel_spectrogram(
+            batch["raw_waves"], batch["raw_wave_lens"], mel_frontend,
+            rng=r_dither if mel_frontend.dither > 0 else None,
+        )
+        mel = spec_augment(mel, mel_lens, r_spec, freq_mask, time_mask)
+        mel = normalize_features(mel, mel_lens)
+        w2v = cutout(w2v, r_cut, rect_masks=5, rect_freq=150, rect_time=100)
+        percents = w2v_lens.astype(jnp.float32) / jnp.float32(w2v.shape[1])
+
+        def loss_fn(params):
+            (log_probs, out_lens), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                w2v, mel, percents, True,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"],
+            )
+            loss = jnp.mean(
+                ctc_loss(log_probs, out_lens, batch["targets"], batch["target_lens"], blank_id)
+            )
+            return loss, (mutated["batch_stats"], log_probs, out_lens)
+
+        (loss, (new_stats, log_probs, out_lens)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(loss)
+        keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+        state = AsrTrainState(
+            step=state.step + 1,
+            params=keep(new_params, state.params),
+            batch_stats=keep(new_stats, state.batch_stats),
+            opt_state=keep(new_opt_state, state.opt_state),
+            nan_count=state.nan_count + jnp.where(finite, 0, 1),
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "finite": finite,
+            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
+            "pred_lens": out_lens,
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_dual_eval_step(model, blank_id: int, mel_frontend: MelFrontendConfig) -> Callable:
+    def eval_step(state: AsrTrainState, batch: dict):
+        w2v, w2v_lens = batch["waves"], batch["wave_lens"]
+        mel, mel_lens = log_mel_spectrogram(
+            batch["raw_waves"], batch["raw_wave_lens"], mel_frontend, rng=None)
+        mel = normalize_features(mel, mel_lens)
+        percents = w2v_lens.astype(jnp.float32) / jnp.float32(w2v.shape[1])
+        log_probs, out_lens = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            w2v, mel, percents, False,
+        )
+        losses = ctc_loss(log_probs, out_lens, batch["targets"], batch["target_lens"], blank_id)
+        return {
+            "losses": losses,
+            "log_probs": log_probs,
+            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
+            "pred_lens": out_lens,
+        }
+
+    return eval_step
+
+
 def make_eval_step(
     model,
     blank_id: int,

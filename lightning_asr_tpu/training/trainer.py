@@ -58,6 +58,7 @@ class Trainer:
         seed: int = 0,
         hparams: Optional[dict] = None,
         from_features: bool = False,
+        callbacks: Optional[list] = None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -82,6 +83,8 @@ class Trainer:
         self.checkpoints = CheckpointManager(self.run_dir / "checkpoints", checkpoint_top_k)
         self.epoch = 0
         self.from_features = from_features
+        self.callbacks = list(callbacks or [])
+        self.should_stop = False
 
         self._train_step = jax.jit(
             make_train_step(
@@ -116,6 +119,8 @@ class Trainer:
             "targets": batch.targets,
             "target_lens": batch.target_lens,
         }
+        if batch.extra:
+            arrays.update(batch.extra)
         B = batch.waves.shape[0]
         if B % n_dev != 0:  # pad rows to a multiple of mesh size (eval tail)
             padded_B = -(-B // n_dev) * n_dev
@@ -141,14 +146,25 @@ class Trainer:
         n_params = sum(p.size for p in jax.tree.leaves(state.params))
         logger.info("model parameters: %.2fM", n_params / 1e6)
 
+        for cb in self.callbacks:
+            cb.on_fit_start(self, state)
         for epoch in range(start_epoch, self.total_epochs):
             self.epoch = epoch
+            for cb in self.callbacks:
+                cb.on_train_epoch_start(self, state, epoch)
             state = self._train_epoch(state, epoch)
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_metrics = self.validate(state)
                 self.loggers.log_metrics(val_metrics, int(state.step))
                 self.checkpoints.save(state, epoch, val_metrics, self.hparams)
                 self.on_validation_end(state, epoch, val_metrics)
+                for cb in self.callbacks:
+                    cb.on_validation_end(self, state, epoch, val_metrics)
+            if self.should_stop:
+                logger.info("stopping early at epoch %d", epoch)
+                break
+        for cb in self.callbacks:
+            cb.on_fit_end(self, state)
         print(self.profiler.summary())
         return state
 
@@ -197,6 +213,8 @@ class Trainer:
                 refs = self.wer.decode_reference(batch.targets, batch.target_lens)
                 logger.info("pred: %s", hyps[0])
                 logger.info("true: %s", refs[0])
+            for cb in self.callbacks:
+                cb.on_train_batch_end(self, state, metrics, batch, i)
 
         dt = time.monotonic() - t_epoch
         logger.info(
@@ -204,6 +222,8 @@ class Trainer:
             epoch, n_batches, dt, audio_seconds / max(dt, 1e-9),
         )
         self.on_train_epoch_end(state, epoch)
+        for cb in self.callbacks:
+            cb.on_train_epoch_end(self, state, epoch)
         return state
 
     # ------------------------------------------------------------------
