@@ -66,34 +66,39 @@ def ctc_loss(
     ext_m2 = jnp.concatenate([jnp.full((B, 2), blank_id, ext.dtype), ext[:, :-2]], axis=1)
     allow_skip = (~is_blank) & (ext != ext_m2)                        # (B, S)
 
-    # Emission log-prob per state per step: gather ext labels from log_probs.
-    # Done inside the scan to keep memory at O(B*S) per step.
+    # Emission log-probs for every (time, state) as ONE one-hot matmul on the
+    # MXU: emit[b,t,s] = log_probs[b,t,ext[b,s]].  Gathers are scalar-unit
+    # work on TPU (~100x slower per element than matmul FLOPs); the one-hot
+    # contraction is exact in fp32 (each row selects a single product).
     neg_inf = jnp.float32(_NEG_INF)
+    onehot = (ext[:, :, None] == jnp.arange(C)[None, None, :]).astype(log_probs.dtype)
+    emit_all = jnp.einsum(
+        "btc,bsc->bts", log_probs, onehot, precision=lax.Precision.HIGHEST
+    )  # (B, T, S)
 
     alpha0 = jnp.full((B, S), neg_inf)
-    emit0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)      # (B, S)
-    alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
+    alpha0 = alpha0.at[:, 0].set(emit_all[:, 0, 0])
     has_label = target_lengths > 0
-    alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, emit0[:, 1], neg_inf))
+    alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, emit_all[:, 0, 1], neg_inf))
 
-    def step(alpha, t):
-        emit = jnp.take_along_axis(log_probs[:, t, :], ext, axis=1)   # (B, S)
+    emit_t = jnp.moveaxis(emit_all[:, 1:, :], 1, 0)                   # (T-1, B, S)
+    valid_t = (jnp.arange(1, T)[:, None] < input_lengths[None, :])    # (T-1, B)
+
+    def step(alpha, inputs):
+        emit, valid = inputs
         a_prev = alpha
         a_m1 = jnp.concatenate([jnp.full((B, 1), neg_inf), alpha[:, :-1]], axis=1)
         a_m2 = jnp.concatenate([jnp.full((B, 2), neg_inf), alpha[:, :-2]], axis=1)
         a_m2 = jnp.where(allow_skip, a_m2, neg_inf)
 
         m = jnp.maximum(jnp.maximum(a_prev, a_m1), a_m2)
-        m_safe = jnp.maximum(m, neg_inf)
-        lse = m_safe + jnp.log(
-            jnp.exp(a_prev - m_safe) + jnp.exp(a_m1 - m_safe) + jnp.exp(a_m2 - m_safe)
+        lse = m + jnp.log(
+            jnp.exp(a_prev - m) + jnp.exp(a_m1 - m) + jnp.exp(a_m2 - m)
         )
         new_alpha = lse + emit
+        return jnp.where(valid[:, None], new_alpha, alpha), None
 
-        valid = (t < input_lengths)[:, None]                          # (B, 1)
-        return jnp.where(valid, new_alpha, alpha), None
-
-    alpha, _ = lax.scan(step, alpha0, jnp.arange(1, T))
+    alpha, _ = lax.scan(step, alpha0, (emit_t, valid_t), unroll=8)
 
     # Final states: 2*target_len (last blank) and 2*target_len - 1 (last label)
     idx_last = (2 * target_lengths).astype(jnp.int32)

@@ -131,29 +131,62 @@ def dft_filters(cfg: MelFrontendConfig) -> np.ndarray:
 
 def _extend_signal(waves: jnp.ndarray, wave_lens: jnp.ndarray, cfg: MelFrontendConfig) -> jnp.ndarray:
     """Per-sample (zero-pad `pad` | reflect-pad n_fft//2) extension of a
-    padded batch, via one gather.
+    padded batch — WITHOUT a large gather (gathers run on the TPU's scalar
+    path, ~100x slower per element than vector work).
 
-    For each sample with true length L: the zero-padded signal z has length
-    L' = L + 2*pad with z[i] = y[i-pad] for pad <= i < L+pad else 0.  The
-    reflect-extended signal is q[j] = z[mirror(j - n_fft//2, L')].  We emit a
-    static buffer of S_max + 2*pad + n_fft samples; positions past the
-    per-sample valid range are garbage-free zeros (masked by frame lengths
-    downstream).
+    For a sample of true length L, with z = [pad zeros | y[:L] | pad zeros]
+    (length L' = L + 2*pad) and q[j] = z[mirror(j - half, L')]:
+
+      * head (j < half): mirror at 0 -> q[j] = y[half - pad - 2 - j + 1]
+        for j <= half - pad - 1, else 0 — a STATIC flip of the first
+        samples, identical layout for every sample in the batch;
+      * body: [pad zeros | y (masked beyond L) | zeros];
+      * tail (j >= L' + half): mirror at L' -> a flipped window of the last
+        samples, written per sample with a vmapped dynamic slice+update
+        (tiny: half+pad samples per sample).
+
+    Assumes padded positions of `waves` may be non-zero (dither) — masked
+    here; and L > half + pad (utterances shorter than ~18 ms unsupported).
     """
     B, S = waves.shape
-    half = cfg.n_fft // 2
-    Lp = wave_lens + 2 * cfg.pad                      # (B,) zero-padded lengths
-    out_len = S + 2 * cfg.pad + cfg.n_fft
+    half = cfg.n_fft // 2          # 256
+    pad = cfg.pad                  # 32
+    out_len = S + 2 * pad + cfg.n_fft
 
-    j = lax.broadcasted_iota(jnp.int32, (B, out_len), 1)
-    m = j - half
-    m = jnp.abs(m)                                     # reflect at 0
-    m = jnp.where(m >= Lp[:, None], 2 * Lp[:, None] - 2 - m, m)  # reflect at end
-    src = m - cfg.pad                                  # index into the raw wave
-    valid = (src >= 0) & (src < wave_lens[:, None])
-    src_clamped = jnp.clip(src, 0, S - 1)
-    gathered = jnp.take_along_axis(waves, src_clamped, axis=1)
-    return jnp.where(valid, gathered, 0.0)
+    idx = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    y = jnp.where(idx < wave_lens[:, None], waves, 0.0)
+
+    # head: q[j] = y[half - pad - j] where the mirror lands inside the
+    # signal (j <= half - pad and mirror index m = half - j > pad); zeros
+    # where it lands in the zero-pad region.  pad=0 shifts the window by one
+    # (reflect excludes the boundary sample).
+    n_head = min(half - pad + 1, half)
+    head_start = (half - pad + 1) - n_head  # 0 for pad>0, 1 for pad=0
+    head = jnp.flip(y[:, head_start : half - pad + 1], axis=1)
+    head_zeros = jnp.zeros((B, half - n_head), waves.dtype)
+
+    base = jnp.concatenate(
+        [head, head_zeros,
+         jnp.zeros((B, pad), waves.dtype), y,
+         jnp.zeros((B, out_len - half - pad - S), waves.dtype)],
+        axis=1,
+    )
+
+    # tail: at j = L' + half + w (w in [0, half)) the end-mirror gives
+    #   src = 2L' - 2 - (j - half) - pad = L + pad - 2 - w,
+    # valid iff 0 <= src < L i.e. w >= pad - 1; smaller w land in the zero
+    # pad.  So the window is [max(pad-1,0) zeros | y[L-1], y[L-2], ...]
+    # (starting at y[L-2] when pad == 0 — reflect excludes the edge sample).
+    tail_zeros = max(pad - 1, 0)
+    n_tail = half - tail_zeros
+    def fixup(row, base_row, L):
+        start = jnp.maximum(L + pad - 1 - half, 0)
+        window = lax.dynamic_slice(row, (start,), (n_tail,))
+        tail_vals = jnp.flip(window)  # y[L+pad-2-w] descending
+        tail = jnp.concatenate([jnp.zeros((tail_zeros,), row.dtype), tail_vals])
+        return lax.dynamic_update_slice(base_row, tail, (L + 2 * pad + half,))
+
+    return jax.vmap(fixup)(y, base, wave_lens)
 
 
 def _preemphasis(waves: jnp.ndarray, prev_samples: Optional[jnp.ndarray], coeff: float) -> jnp.ndarray:

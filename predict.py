@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Offline inference / evaluation CLI — the reference's ``predict.py``
+surface: transcribe one wav, or evaluate a manifest (optionally with
+LM-fused beam search and a per-utterance CSV report)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from lightning_asr_tpu.inference import AsrTranslator
+from lightning_asr_tpu.utils import get_logger
+
+logger = get_logger("predict")
+logging.getLogger("lightning_asr_tpu").setLevel(logging.INFO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True, help="checkpoint directory")
+    ap.add_argument("--audio", help="single wav to transcribe")
+    ap.add_argument("--manifest", help="JSONL manifest to evaluate")
+    ap.add_argument("--lang", default="en", choices=["en", "cn"])
+    ap.add_argument("--lm", help="ARPA LM path (enables beam search)")
+    ap.add_argument("--beam_width", type=int, default=40)
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--beta", type=float, default=1.0)
+    ap.add_argument("--num_cpus", type=int, default=4)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--csv", help="per-utterance WER/confidence CSV output")
+    ap.add_argument("--confidence", action="store_true",
+                    help="also report CTC confidence scores")
+    args = ap.parse_args()
+
+    beam_decoder = None
+    translator = AsrTranslator(args.model, lang=args.lang,
+                               return_confidence=args.confidence)
+    if args.lm:
+        from lightning_asr_tpu.decoding.beam_search import BeamSearchDecoderWithLM
+
+        beam_decoder = BeamSearchDecoderWithLM(
+            translator.vocab.labels, beam_width=args.beam_width,
+            alpha=args.alpha, beta=args.beta, lm_path=args.lm,
+            num_cpus=args.num_cpus)
+        translator.beam_decoder = beam_decoder
+
+    if args.audio:
+        print(translator.translate(args.audio))
+    if args.manifest:
+        result = translator.evaluate_manifest(
+            args.manifest, batch_size=args.batch_size, csv_path=args.csv)
+        print(result)
+    if not args.audio and not args.manifest:
+        ap.error("provide --audio and/or --manifest")
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,35 @@ def test_preemphasis_prev_sample():
     np.testing.assert_allclose(ours, ref_crop, rtol=1e-6, atol=1e-7)
 
 
+def test_logmel_dual_config_matches_torch():
+    """The dual-stream mel config (win 400 / hop 320 / pad 0,
+    ssl_data_module_double.py:93-97) must also match torch exactly."""
+    from lightning_asr_tpu.models.dual_stream import DUAL_MEL_CONFIG
+
+    cfg = MelFrontendConfig(win_length=400, hop_length=320, pad=0, dither=0.0)
+    assert DUAL_MEL_CONFIG.win_length == 400 and DUAL_MEL_CONFIG.pad == 0
+
+    rng = np.random.default_rng(11)
+    n = 16000
+    wave = (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+    y = torch.from_numpy(wave).double().unsqueeze(0)
+    y = torch.cat((y[:, 0].unsqueeze(1), y[:, 1:] - 0.97 * y[:, :-1]), dim=1)
+    window = torch.hann_window(400, periodic=True, dtype=torch.float64)
+    spec = torch.stft(y, n_fft=512, hop_length=320, win_length=400, window=window,
+                      center=True, pad_mode="reflect", normalized=False,
+                      onesided=True, return_complex=True)
+    power = spec.real ** 2 + spec.imag ** 2
+    fb = torch_mel_filterbank()
+    mel = torch.matmul(power.transpose(1, 2), fb).transpose(1, 2)
+    golden = (10.0 * torch.log10(torch.clamp(mel, min=1e-10))).squeeze(0).numpy()
+
+    mels, mel_lens = log_mel_spectrogram(
+        jnp.asarray(wave)[None], jnp.asarray([n], jnp.int32), cfg)
+    assert int(mel_lens[0]) == golden.shape[1]
+    np.testing.assert_allclose(np.asarray(mels[0]).T, golden, rtol=0, atol=2e-3)
+
+
 def test_filterbank_matches_torchaudio():
     ours = mel_filterbank(CFG)
     golden = torch_mel_filterbank().numpy()

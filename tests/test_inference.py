@@ -1,0 +1,98 @@
+"""Inference API + HTTP server: checkpoint -> AsrTranslator -> transcription
+via path, BytesIO, manifest eval, and the stdlib POST / server contract."""
+
+import io
+import json
+import threading
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from lightning_asr_tpu.data.audio import write_wav
+from lightning_asr_tpu.data.vocab import Vocabulary
+from lightning_asr_tpu.inference import AsrTranslator
+from lightning_asr_tpu.inference.server import make_stdlib_server
+from lightning_asr_tpu.models import build_model
+from lightning_asr_tpu.optim import novograd
+from lightning_asr_tpu.training.checkpoint import CheckpointManager
+from lightning_asr_tpu.training.steps import create_train_state
+
+LABELS = [" ", "'"] + [chr(ord("a") + i) for i in range(26)]
+
+
+@pytest.fixture(scope="module")
+def checkpoint_dir(tmp_path_factory):
+    """Save an (untrained) checkpoint with hparams, as the Trainer would."""
+    root = tmp_path_factory.mktemp("ckpt")
+    model = build_model(num_classes=len(LABELS) + 1, mask=True)
+    opt = novograd(1e-3, betas=(0.8, 0.5))
+    state = create_train_state(model, opt, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(root, top_k=1)
+    mgr.save(state, epoch=0, metrics={"val_wer": 1.0},
+             hparams={"labels": LABELS, "use_cer": False,
+                      "encoder": "quartznet12_context", "mask": True,
+                      "drop_rate": 0.0})
+    return str(Path(root) / "last")
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    path = tmp_path_factory.mktemp("audio") / "test.wav"
+    write_wav(path, (rng.standard_normal(16000) * 0.1).astype(np.float32)[None], 16000)
+    return str(path)
+
+
+def test_translate_path_and_bytesio(checkpoint_dir, wav_path):
+    tr = AsrTranslator(checkpoint_dir)
+    assert tr.vocab.labels == LABELS
+    out1 = tr.translate(wav_path)
+    assert isinstance(out1, str)
+    with open(wav_path, "rb") as f:
+        out2 = tr.translate(io.BytesIO(f.read()))
+    assert out1 == out2  # deterministic eval path, dither off
+
+
+def test_evaluate_manifest_with_csv(checkpoint_dir, wav_path, tmp_path):
+    manifest = tmp_path / "m.json"
+    with open(manifest, "w") as f:
+        f.write(json.dumps({"audio_filepath": wav_path, "duration": 1.0,
+                            "text": "hello"}) + "\n")
+    tr = AsrTranslator(checkpoint_dir)
+    csv_path = tmp_path / "report.csv"
+    result = tr.evaluate_manifest(manifest, batch_size=2, csv_path=csv_path)
+    assert result["n_utterances"] == 1
+    assert "wer" in result
+    assert csv_path.exists() and "audio_filepath" in csv_path.read_text()
+
+
+def test_http_server_contract(checkpoint_dir, wav_path):
+    tr = AsrTranslator(checkpoint_dir)
+    expected = tr.translate(wav_path)
+
+    server = make_stdlib_server(tr, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        boundary = "testboundary123"
+        with open(wav_path, "rb") as f:
+            payload = f.read()
+        body = (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="audio"; filename="t.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n"
+        ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            assert resp.read().decode("utf-8") == expected
+    finally:
+        server.shutdown()
