@@ -166,6 +166,10 @@ class AsrModel(nn.Module):
     # feature_mapping: project SSL features (e.g. wav2vec2's 512) down to
     # in_c before the encoder, like ``train_ssl.py:42,316``.
     feature_in: int | None = None
+    # lstm_head: the legacy ``MyModel`` head (``QuartNet.py:242-261``):
+    # encoder -> BiLSTM -> BatchNorm -> Dense instead of the 1x1-conv decoder.
+    lstm_head: bool = False
+    lstm_head_hidden: int = 128
 
     @nn.compact
     def __call__(
@@ -178,9 +182,18 @@ class AsrModel(nn.Module):
         enc_cls, enc_kwargs = _ENCODERS[self.encoder_name]
         x = enc_cls(in_c=self.in_c, drop_rate=self.drop_rate, mask=self.mask,
                     name="encoder", **enc_kwargs)(x, percents, train)
-        x = nn.Conv(self.num_classes, (1,), use_bias=True,
-                    kernel_init=torch_uniform_init(1024),
-                    bias_init=torch_uniform_init(1024), name="decoder")(x)
+        if self.lstm_head:
+            lengths = _lengths_from_percents(x.shape[1], percents)
+            x = BatchLSTM(x.shape[-1], self.lstm_head_hidden, name="head_rnn")(x, lengths)
+            x = MaskedBatchNorm(2 * self.lstm_head_hidden, name="head_bn")(x, train)
+            x = nn.Dense(self.num_classes,
+                         kernel_init=torch_uniform_init(2 * self.lstm_head_hidden),
+                         bias_init=torch_uniform_init(2 * self.lstm_head_hidden),
+                         name="head_fc")(x)
+        else:
+            x = nn.Conv(self.num_classes, (1,), use_bias=True,
+                        kernel_init=torch_uniform_init(1024),
+                        bias_init=torch_uniform_init(1024), name="decoder")(x)
         log_probs = nn.log_softmax(x, axis=-1)
         out_lengths = _lengths_from_percents(log_probs.shape[1], percents)
         return log_probs, out_lengths
@@ -193,10 +206,11 @@ def build_model(
     drop_rate: float = 0.0,
     mask: bool = False,
     feature_in: int | None = None,
+    **kwargs,
 ) -> AsrModel:
     if encoder not in _ENCODERS:
         raise ValueError(f"unknown encoder {encoder!r}; choose from {sorted(_ENCODERS)}")
     return AsrModel(
         num_classes=num_classes, encoder_name=encoder, in_c=in_c,
-        drop_rate=drop_rate, mask=mask, feature_in=feature_in,
+        drop_rate=drop_rate, mask=mask, feature_in=feature_in, **kwargs,
     )
