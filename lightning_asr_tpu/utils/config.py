@@ -82,11 +82,22 @@ def _wrap(v: Any) -> Any:
 
 
 def _parse_value(text: str) -> Any:
-    """Parse an override value with YAML semantics (1e-3 -> float, null, lists)."""
+    """Parse an override value with YAML semantics plus hydra-style numeric
+    coercion (YAML 1.1 treats '5e-3' as a string; hydra reads it as float)."""
     try:
-        return yaml.safe_load(text)
+        value = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    return value
 
 
 def parse_overrides(args: Iterable[str]) -> list[tuple[str, Any]]:

@@ -1,0 +1,89 @@
+"""Bucket batcher: static shapes, crop semantics, epoch shuffling, prefetch."""
+
+import json
+
+import numpy as np
+import pytest
+
+from lightning_asr_tpu.data.audio import write_wav
+from lightning_asr_tpu.data.manifest import read_manifests
+from lightning_asr_tpu.data.pipeline import BucketBatcher, prefetch
+from lightning_asr_tpu.data.vocab import Vocabulary
+from lightning_asr_tpu.ops.augment import sub_sequence_crop
+
+LABELS = [" ", "a", "b", "c"]
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    durations = [0.5, 0.6, 1.4, 1.5, 3.0, 0.55, 0.58, 1.45]
+    for i, dur in enumerate(durations):
+        n = int(16000 * dur)
+        path = tmp_path / f"u{i}.wav"
+        write_wav(path, (rng.standard_normal(n) * 0.1).astype(np.float32)[None], 16000)
+        rows.append({"audio_filepath": str(path), "duration": n / 16000, "text": "ab c"})
+    manifest = tmp_path / "m.json"
+    with open(manifest, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return manifest
+
+
+def test_bucket_static_shapes(corpus):
+    entries = read_manifests(corpus, 16.7)
+    vocab = Vocabulary(LABELS)
+    batcher = BucketBatcher(entries, vocab, batch_size=2, train=False,
+                            bucket_seconds=(1.0, 2.0, 4.0), crop=False)
+    shapes = set()
+    n_items = 0
+    for b in batcher:
+        shapes.add(b.waves.shape[1])
+        n_items += b.size
+        assert b.waves.shape[1] in (16000, 32000, 64000)
+        assert (b.wave_lens <= b.waves.shape[1]).all()
+        assert b.targets.shape[1] % 32 == 0
+        # padding is exactly zero
+        for i in range(b.size):
+            assert np.all(b.waves[i, b.wave_lens[i]:] == 0)
+    assert n_items == 8  # eval mode keeps everything
+    assert shapes == {16000, 32000, 64000}
+
+
+def test_train_drop_last_and_shuffle(corpus):
+    entries = read_manifests(corpus, 16.7)
+    vocab = Vocabulary(LABELS)
+    batcher = BucketBatcher(entries, vocab, batch_size=2, train=True,
+                            bucket_seconds=(1.0, 2.0, 4.0), crop=False, seed=1)
+    batcher.set_epoch(0)
+    order0 = [tuple(b.paths) for b in batcher]
+    batcher.set_epoch(1)
+    order1 = [tuple(b.paths) for b in batcher]
+    assert order0 != order1  # epoch reshuffling
+    # drop_last: the 3.0s utterance is alone in its bucket -> dropped
+    n = sum(len(p) for p in order0)
+    assert n <= 7 and all(len(p) == 2 for p in order0)
+
+
+def test_crop_semantics():
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        offset, length = sub_sequence_crop(16000, rng, weight=0.98)
+        # reference: slice [location:target_length], target >= 0.98*L
+        assert 0 < length <= 16000
+        assert offset + length <= 16000
+        assert length >= int(0.98 * 16000) - offset
+
+
+def test_prefetch_order_and_error():
+    assert list(prefetch(iter(range(5)))) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise RuntimeError("inner")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="inner"):
+        list(it)
