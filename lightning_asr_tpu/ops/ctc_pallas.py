@@ -197,11 +197,12 @@ def _ctc_from_emit(emit, skip, lens2d, final, valid_b):
     return jnp.where(valid_b, -ll[:, 0], 0.0)
 
 
+_CT = 32  # time steps per grid block; T is padded to a multiple of this
+
+
 def _pick_ct(T: int) -> int:
-    for ct in (64, 32, 16, 8):
-        if T % ct == 0:
-            return ct
-    return 1
+    assert T % _CT == 0, f"T={T} must be padded to a multiple of {_CT}"
+    return _CT
 
 
 def _ctc_forward(emit, skip, lens2d, final):
@@ -300,10 +301,16 @@ def ctc_loss_pallas(
 
     # emissions via one-hot matmul; invalid states get -inf
     onehot = (ext[:, :, None] == jnp.arange(C)[None, None, :]).astype(jnp.float32)
-    emit = jnp.einsum("btc,bsc->bts", log_probs, onehot,
-                      precision=lax.Precision.HIGHEST)
-    emit = jnp.where(state_valid[:, None, :], emit, NEG_INF)
-    emit = jnp.moveaxis(emit, 1, 0)                          # (T, B, S_pad)
+    emit = jnp.einsum("btc,bsc->tbs", log_probs, onehot,
+                      precision=lax.Precision.HIGHEST)      # (T, B, S_pad)
+    emit = jnp.where(state_valid[None, :, :], emit, NEG_INF)
+    # pad T to a chunk multiple; padded steps sit beyond every sample's
+    # input length, so they are frozen in the forward and zero-grad in the
+    # backward by the t < lens masks.
+    T_pad = _round_up(T, _CT)
+    if T_pad != T:
+        emit = jnp.concatenate(
+            [emit, jnp.full((T_pad - T, B, S_pad), NEG_INF, jnp.float32)], axis=0)
 
     final = ((s_idx == n_states - 1) | ((s_idx == n_states - 2) & (target_lengths[:, None] > 0)))
     final = final.astype(jnp.float32)

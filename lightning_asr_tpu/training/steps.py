@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.augment import cutout, spec_augment
-from ..ops.ctc import ctc_loss
+from ..ops.ctc import ctc_loss as ctc_loss_scan
+from ..ops.ctc_pallas import ctc_loss_pallas as ctc_loss
 from ..ops.frontend import MelFrontendConfig, log_mel_spectrogram, normalize_features
 
 
