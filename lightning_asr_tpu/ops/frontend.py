@@ -73,7 +73,11 @@ class MelFrontendConfig:
         return self.pad + self.n_fft // 2
 
     def lax_precision(self) -> lax.Precision:
-        return lax.Precision.HIGHEST if self.precision == "highest" else lax.Precision.DEFAULT
+        return {
+            "highest": lax.Precision.HIGHEST,  # fp32 (6-pass) — bitwise parity
+            "high": lax.Precision.HIGH,        # 3-pass bf16 — ~1e-3 dB error
+            "default": lax.Precision.DEFAULT,  # 1-pass bf16 — fastest
+        }[self.precision]
 
 
 def mel_num_frames(num_samples, cfg: MelFrontendConfig = MelFrontendConfig()):

@@ -71,7 +71,9 @@ def _direction(
         return (h, c), out
 
     init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
-    _, outs = lax.scan(step, init, (xproj_t, valid_t))  # (T, B, H)
+    # unroll amortizes per-iteration loop overhead; the recurrence itself is
+    # tiny (B x H) so the sequential chain is latency-bound
+    _, outs = lax.scan(step, init, (xproj_t, valid_t), unroll=8)  # (T, B, H)
     outs = jnp.moveaxis(outs, 0, 1)  # (B, T, H)
     if reverse:
         outs = jnp.flip(outs, axis=1)

@@ -97,7 +97,7 @@ def main(argv=None) -> None:
         run_dir=run_dir,
         loggers=init_loggers(cfg.get("loggers"), run_dir),
         lr_schedule=schedule,
-        frontend=MelFrontendConfig(),
+        frontend=MelFrontendConfig(precision=data_cfg.get("frontend_precision", "default")),
         augment=data_cfg.get("augment", True),
         mesh=make_mesh(train_cfg.get("n_devices")),
         seed=seed,
