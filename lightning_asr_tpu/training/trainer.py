@@ -59,6 +59,8 @@ class Trainer:
         hparams: Optional[dict] = None,
         from_features: bool = False,
         callbacks: Optional[list] = None,
+        plateau=None,
+        plateau_monitor: str = "val_loss",
     ):
         self.model = model
         self.optimizer = optimizer
@@ -85,6 +87,12 @@ class Trainer:
         self.from_features = from_features
         self.callbacks = list(callbacks or [])
         self.should_stop = False
+        # ReduceLROnPlateau host controller (the reference's train-100
+        # recipe): requires the optimizer to be wrapped in
+        # optax.inject_hyperparams so lr is a runtime value, not a compiled
+        # constant.
+        self.plateau = plateau
+        self.plateau_monitor = plateau_monitor
 
         self._train_step = jax.jit(
             make_train_step(
@@ -157,6 +165,10 @@ class Trainer:
                 val_metrics = self.validate(state)
                 self.loggers.log_metrics(val_metrics, int(state.step))
                 self.checkpoints.save(state, epoch, val_metrics, self.hparams)
+                if self.plateau is not None:
+                    new_lr = self.plateau.step(val_metrics.get(self.plateau_monitor))
+                    state = self._set_lr(state, new_lr)
+                    self.loggers.log_metrics({"lr": new_lr}, int(state.step))
                 self.on_validation_end(state, epoch, val_metrics)
                 for cb in self.callbacks:
                     cb.on_validation_end(self, state, epoch, val_metrics)
@@ -167,6 +179,17 @@ class Trainer:
             cb.on_fit_end(self, state)
         print(self.profiler.summary())
         return state
+
+    def _set_lr(self, state: AsrTrainState, lr: float) -> AsrTrainState:
+        """Update the learning rate inside an inject_hyperparams opt state."""
+        import jax.numpy as jnp
+
+        opt_state = state.opt_state
+        if not hasattr(opt_state, "hyperparams"):
+            logger.warning("plateau scheduling requires optax.inject_hyperparams; skipping")
+            return state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state.replace(opt_state=opt_state)
 
     # Hook for subclasses (e.g. the SSL pseudo-labeling trainer).
     def on_validation_end(self, state, epoch, val_metrics) -> None:

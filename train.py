@@ -67,6 +67,9 @@ def main(argv=None) -> None:
     steps_per_epoch = dm.steps_per_epoch()
     logger.info("steps per epoch: %d", steps_per_epoch)
 
+    plateau = None
+    betas = tuple(train_cfg.get("novograd_betas", (0.8, 0.5)))
+    wd = float(train_cfg.get("weight_decay", 1e-3))
     if train_cfg.get("scheduler", "cosine_warmup_restarts") == "cosine_warmup_restarts":
         schedule = cosine_annealing_warmup_restarts(
             first_cycle_steps=max(total_epoch * steps_per_epoch, 2),
@@ -76,15 +79,14 @@ def main(argv=None) -> None:
             warmup_steps=train_cfg.get("warmup_steps", 1000),
             gamma=train_cfg.get("lr_gamma", 0.5),
         )
+        optimizer = novograd(schedule, betas=betas, weight_decay=wd)
     else:  # reduce_on_plateau recipe (the 16.4% train-100 run)
-        plateau = ReduceLROnPlateau(init_lr=lr)
-        schedule = lambda step: plateau.lr  # noqa: E731
+        import optax
 
-    optimizer = novograd(
-        schedule,
-        betas=tuple(train_cfg.get("novograd_betas", (0.8, 0.5))),
-        weight_decay=float(train_cfg.get("weight_decay", 1e-3)),
-    )
+        plateau = ReduceLROnPlateau(init_lr=lr)
+        optimizer = optax.inject_hyperparams(novograd)(
+            learning_rate=lr, betas=betas, weight_decay=wd)
+        schedule = None
 
     run_dir = Path(cfg.get("run_dir", "outputs/run"))
     trainer = Trainer(
@@ -101,6 +103,7 @@ def main(argv=None) -> None:
         augment=data_cfg.get("augment", True),
         mesh=make_mesh(train_cfg.get("n_devices")),
         seed=seed,
+        plateau=plateau,
         hparams={
             "labels": dm.vocab.labels,
             "use_cer": dm.vocab.use_cer,
