@@ -25,6 +25,13 @@ Here the whole pipeline runs batched on the TPU under jit.  Design:
     the MXU, instead of an FFT;
   * mel projection is one more matmul; log/normalize fuse into it.
 
+Kernel-design note: an explicit Pallas "framing" kernel (materialize
+(frames, n_fft) windows then pl.dot) was evaluated and rejected — the hop
+stride (160) is not lane-aligned (128), so explicit frame extraction costs a
+relayout per frame, while XLA's strided-conv lowering handles the overlap as
+an implicit GEMM natively.  The fused-kernel budget went to CTC
+(ops/ctc_pallas.py) where XLA's scan scheduling actually loses time.
+
 Output layout is (B, T, n_mels) — time-major NTC, the natural layout for
 the NWC conv encoder that follows.
 """

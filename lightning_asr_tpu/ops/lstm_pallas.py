@@ -1,0 +1,235 @@
+"""LSTM recurrence as a Pallas TPU kernel — fused forward + BPTT backward.
+
+The scan LSTM (``ops.lstm``) is latency-bound: ~1700 sequential loop
+iterations of tiny (B, H) work per direction, each paying loop-iteration
+overhead, and the same again for the autodiff backward.  This kernel runs
+the whole recurrence inside ONE Pallas program per direction:
+
+  * the input projection x @ W_ih^T + biases stays OUTSIDE as a single big
+    MXU matmul (as in ops.lstm);
+  * the forward kernel carries (h, c) in VMEM scratch, streams xproj chunks
+    in and three per-step tensors out: the user-visible masked h, plus the
+    PRE-update states h_prev/c_prev — storing pre-update states makes the
+    backward chunk-local (no halo at chunk boundaries; h_prev[0] == 0);
+  * the backward kernel runs reverse-time BPTT (reversed grid index map):
+    gates are recomputed from xproj and h_prev, d_xproj streams out, dW_hh
+    accumulates in a VMEM output tile across grid steps;
+  * dx / dW_ih / db then fall out of big MXU matmuls outside the kernel;
+  * per-sample length masking matches pack_padded_sequence semantics exactly
+    (masked state updates; zero outputs at pad frames), same as ops.lstm.
+
+Hidden size is padded to the 128-lane tile (the reference's context LSTM is
+H=40); padded rows/cols of W_hh are zero so the math is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lstm import LSTMWeights
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_CT = 32  # time steps per grid block
+
+
+def _gates(xp_row, h, whh):
+    gates = xp_row + jnp.dot(h, whh, preferred_element_type=jnp.float32)
+    Hp = h.shape[1]
+    i_g = jax.nn.sigmoid(gates[:, 0 * Hp:1 * Hp])
+    f_g = jax.nn.sigmoid(gates[:, 1 * Hp:2 * Hp])
+    g_g = jnp.tanh(gates[:, 2 * Hp:3 * Hp])
+    o_g = jax.nn.sigmoid(gates[:, 3 * Hp:4 * Hp])
+    return i_g, f_g, g_g, o_g
+
+
+def _fwd_kernel(xproj_ref, valid_ref, whh_ref,
+                h_out_ref, hprev_out_ref, cprev_out_ref,
+                h_scr, c_scr):
+    i = pl.program_id(0)
+    CT = xproj_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    def body(k, _):
+        h, c = h_scr[:], c_scr[:]
+        hprev_out_ref[k] = h
+        cprev_out_ref[k] = c
+        i_g, f_g, g_g, o_g = _gates(xproj_ref[k], h, whh_ref[:])
+        c_new = f_g * c + i_g * g_g
+        h_new = o_g * jnp.tanh(c_new)
+        v = valid_ref[k]                      # (B, 1)
+        h_scr[:] = jnp.where(v > 0, h_new, h)
+        c_scr[:] = jnp.where(v > 0, c_new, c)
+        h_out_ref[k] = jnp.where(v > 0, h_new, 0.0)
+        return 0
+
+    lax.fori_loop(0, CT, body, 0)
+
+
+def _bwd_kernel(xproj_ref, valid_ref, whh_ref, hprev_ref, cprev_ref, g_ref,
+                dxproj_ref, dwhh_ref, dh_scr, dc_scr):
+    i = pl.program_id(0)
+    CT = xproj_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    def body(kk, _):
+        k = CT - 1 - kk
+        h_prev = hprev_ref[k]
+        c_prev = cprev_ref[k]
+        i_g, f_g, g_g, o_g = _gates(xproj_ref[k], h_prev, whh_ref[:])
+        c_t = f_g * c_prev + i_g * g_g
+        tanh_c = jnp.tanh(c_t)
+
+        v = valid_ref[k]                      # (B, 1)
+        dh = (g_ref[k] + dh_scr[:]) * v
+        dc = dc_scr[:] * v + dh * o_g * (1.0 - tanh_c * tanh_c)
+
+        do = dh * tanh_c * o_g * (1.0 - o_g)
+        di = dc * g_g * i_g * (1.0 - i_g)
+        df = dc * c_prev * f_g * (1.0 - f_g)
+        dg = dc * i_g * (1.0 - g_g * g_g)
+        dgates = jnp.concatenate([di, df, dg, do], axis=1)  # (B, 4Hp)
+
+        dxproj_ref[k] = dgates
+        dwhh_ref[:] += jnp.dot(h_prev.T, dgates, preferred_element_type=jnp.float32)
+        dh_prev = jnp.dot(dgates, whh_ref[:].T, preferred_element_type=jnp.float32)
+        dh_scr[:] = dh_prev + dh_scr[:] * (1.0 - v)
+        dc_scr[:] = dc * f_g + dc_scr[:] * (1.0 - v)
+        return 0
+
+    lax.fori_loop(0, CT, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# wrapper with custom VJP (single direction on padded shapes)
+# ---------------------------------------------------------------------------
+
+def _run_fwd(xproj, valid, whh):
+    Tn, B, G = xproj.shape
+    Hp = G // 4
+    grid = Tn // _CT
+    blk3 = lambda shape: pl.BlockSpec((_CT,) + shape, lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    h_all, hprev, cprev = pl.pallas_call(
+        _fwd_kernel,
+        grid=(grid,),
+        in_specs=[blk3((B, G)), blk3((B, 1)), fixed((Hp, G))],
+        out_specs=[blk3((B, Hp)), blk3((B, Hp)), blk3((B, Hp))],
+        out_shape=[jax.ShapeDtypeStruct((Tn, B, Hp), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((B, Hp), jnp.float32),
+                        pltpu.VMEM((B, Hp), jnp.float32)],
+        interpret=_interpret(),
+    )(xproj, valid, whh)
+    return h_all, hprev, cprev
+
+
+@jax.custom_vjp
+def _lstm_core(xproj, valid, whh):
+    h_all, _, _ = _run_fwd(xproj, valid, whh)
+    return h_all
+
+
+def _core_fwd(xproj, valid, whh):
+    h_all, hprev, cprev = _run_fwd(xproj, valid, whh)
+    return h_all, (xproj, valid, whh, hprev, cprev)
+
+
+def _core_bwd(res, g):
+    xproj, valid, whh, hprev, cprev = res
+    Tn, B, G = xproj.shape
+    Hp = G // 4
+    grid = Tn // _CT
+    rev3 = lambda shape: pl.BlockSpec((_CT,) + shape,
+                                      lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    dxproj, dwhh = pl.pallas_call(
+        _bwd_kernel,
+        grid=(grid,),
+        in_specs=[rev3((B, G)), rev3((B, 1)), fixed((Hp, G)),
+                  rev3((B, Hp)), rev3((B, Hp)), rev3((B, Hp))],
+        out_specs=[rev3((B, G)), fixed((Hp, G))],
+        out_shape=[jax.ShapeDtypeStruct((Tn, B, G), jnp.float32),
+                   jax.ShapeDtypeStruct((Hp, G), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, Hp), jnp.float32),
+                        pltpu.VMEM((B, Hp), jnp.float32)],
+        interpret=_interpret(),
+    )(xproj, valid, whh, hprev, cprev, g.astype(jnp.float32))
+    return dxproj, None, dwhh
+
+
+_lstm_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API: bidirectional, torch weight layout, unpadded shapes
+# ---------------------------------------------------------------------------
+
+def lstm_pallas(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    forward: LSTMWeights,
+    backward: LSTMWeights | None = None,
+) -> jnp.ndarray:
+    """Drop-in replacement for ``ops.lstm.lstm`` backed by Pallas kernels."""
+    B, T, _ = x.shape
+    Tn = _round_up(T, _CT)
+
+    def run(w: LSTMWeights, reverse: bool) -> jnp.ndarray:
+        H = w.w_hh.shape[1]
+        Hp = _round_up(H, 128)
+        xproj = jnp.einsum("bti,gi->btg", x, w.w_ih) + w.b_ih + w.b_hh
+        xg = xproj.reshape(B, T, 4, H)
+        xg = jnp.pad(xg, ((0, 0), (0, Tn - T), (0, 0), (0, Hp - H)))
+        xproj_p = jnp.moveaxis(xg.reshape(B, Tn, 4 * Hp), 1, 0)
+
+        t_idx = jnp.arange(Tn)
+        if reverse:
+            xproj_p = jnp.flip(xproj_p, axis=0)
+            valid = (Tn - 1 - t_idx)[:, None] < lengths[None, :]
+        else:
+            valid = t_idx[:, None] < lengths[None, :]
+        valid = valid.astype(jnp.float32)[:, :, None]
+
+        whh = jnp.concatenate(
+            [jnp.pad(w.w_hh[i * H:(i + 1) * H].T, ((0, Hp - H), (0, Hp - H)))
+             for i in range(4)], axis=1)                              # (Hp,4Hp)
+
+        h_all = _lstm_core(xproj_p, valid, whh)                       # (Tn,B,Hp)
+        h_all = jnp.moveaxis(h_all, 0, 1)                             # (B,Tn,Hp)
+        if reverse:
+            # flipped-padded time: original frame t sat at position Tn-1-t;
+            # flipping back puts it at index t directly
+            h_all = jnp.flip(h_all, axis=1)
+        return h_all[:, :T, :H]
+
+    out_f = run(forward, reverse=False)
+    if backward is None:
+        return out_f
+    out_b = run(backward, reverse=True)
+    return jnp.concatenate([out_f, out_b], axis=-1)
