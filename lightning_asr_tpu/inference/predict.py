@@ -83,7 +83,16 @@ class AsrTranslator:
         )
         self.params = state_raw["params"]
         self.batch_stats = state_raw.get("batch_stats", {})
+        # SSL checkpoints (feature_in set) consume wav2vec2 features instead
+        # of mels — the reference's AsrTranslatorSSL (predict.py:76-133)
+        self.ssl_extractor = None
+        if hparams.get("feature_in"):
+            from ..ssl_codec.extractor import Wav2Vec2Extractor
+
+            self.ssl_extractor = Wav2Vec2Extractor(
+                hparams.get("ssl_model_name", "facebook/wav2vec2-large-xlsr-53"))
         self._jit_forward = jax.jit(self._forward)
+        self._jit_forward_feats = jax.jit(self._forward_feats)
         logger.info("loaded checkpoint in %.2fs", time.time() - t0)
 
     # ------------------------------------------------------------------
@@ -97,6 +106,13 @@ class AsrTranslator:
         )
         return log_probs, out_lens
 
+    def _forward_feats(self, feats, feat_lens):
+        percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
+        return self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            feats, percents, False,
+        )
+
     def _bucket_len(self, n: int) -> int:
         for s in _BUCKET_SECONDS:
             b = int(s * self.frontend.sample_rate)
@@ -106,13 +122,20 @@ class AsrTranslator:
 
     def transcribe_batch(self, waves: List[np.ndarray]) -> List[str]:
         """Transcribe a list of 1-D float32 waveforms."""
-        n_max = self._bucket_len(max(w.shape[0] for w in waves))
-        batch = np.zeros((len(waves), n_max), np.float32)
-        lens = np.zeros(len(waves), np.int32)
-        for i, w in enumerate(waves):
-            batch[i, : w.shape[0]] = w
-            lens[i] = w.shape[0]
-        log_probs, out_lens = self._jit_forward(jnp.asarray(batch), jnp.asarray(lens))
+        if self.ssl_extractor is not None:
+            feats, _ = self.ssl_extractor(list(waves))  # (B, T, 512)
+            frames = np.asarray([int(w.shape[0] / 16000 * 50) for w in waves], np.int32)
+            frames = np.minimum(frames, feats.shape[1])
+            log_probs, out_lens = self._jit_forward_feats(
+                jnp.asarray(feats), jnp.asarray(frames))
+        else:
+            n_max = self._bucket_len(max(w.shape[0] for w in waves))
+            batch = np.zeros((len(waves), n_max), np.float32)
+            lens = np.zeros(len(waves), np.int32)
+            for i, w in enumerate(waves):
+                batch[i, : w.shape[0]] = w
+                lens[i] = w.shape[0]
+            log_probs, out_lens = self._jit_forward(jnp.asarray(batch), jnp.asarray(lens))
         if self.beam_decoder is not None:
             texts = self.beam_decoder.forward(np.asarray(log_probs), np.asarray(out_lens))
         else:
