@@ -215,11 +215,17 @@ class QuartNetBlock(nn.Module):
 
 class BatchLSTM(nn.Module):
     """Bidirectional LSTM with packed-sequence-equivalent masking
-    (``QuartNetContext.py:186-199``), torch default init U(+-1/sqrt(H))."""
+    (``QuartNetContext.py:186-199``), torch default init U(+-1/sqrt(H)).
+
+    ``impl='pallas'`` (default) runs the fused Pallas recurrence kernel
+    (ops/lstm_pallas.py — interpret mode on CPU); ``impl='scan'`` uses the
+    lax.scan reference implementation. Both are numerically equivalent
+    (tested)."""
 
     in_ch: int
     hidden: int
     bidirectional: bool = True
+    impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -236,4 +242,8 @@ class BatchLSTM(nn.Module):
 
         fw = weights("f")
         bw = weights("b") if self.bidirectional else None
+        if self.impl == "pallas":
+            from ..ops.lstm_pallas import lstm_pallas
+
+            return lstm_pallas(x, lengths, fw, bw)
         return lstm(x, lengths, fw, bw)
