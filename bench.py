@@ -33,7 +33,8 @@ def main() -> None:
     SECONDS = 16.7
     S = int(SECONDS * 16000)
 
-    model = build_model(num_classes=29, encoder="quartznet12_context", mask=True)
+    model = build_model(num_classes=29, encoder="quartznet12_context", mask=True,
+                        dtype=jnp.bfloat16)
     schedule = cosine_annealing_warmup_restarts(
         first_cycle_steps=100000, cycle_mult=2, max_lr=1e-2, min_lr=1e-4,
         warmup_steps=1000, gamma=0.5)

@@ -103,6 +103,9 @@ class SepConv(nn.Module):
     dilation: int = 1
     stride: int = 1
     drop_rate: float = 0.1
+    # compute dtype for the convs (params stay fp32; BN math stays fp32).
+    # bf16 halves HBM traffic for the bandwidth-bound depthwise convs.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -119,6 +122,7 @@ class SepConv(nn.Module):
             kernel_dilation=(self.dilation,),
             use_bias=False,
             kernel_init=torch_uniform_init(self.k),  # depthwise fan_in = k
+            dtype=self.dtype,
             name="depthwise_conv",
         )(x)
         x = nn.Conv(
@@ -126,6 +130,7 @@ class SepConv(nn.Module):
             kernel_size=(1,),
             use_bias=False,
             kernel_init=torch_uniform_init(self.in_ch),
+            dtype=self.dtype,
             name="pointwise_conv",
         )(x)
         if self.mask:
@@ -169,8 +174,8 @@ class SepConvSE(SepConv):
         x = nn.Conv(self.in_ch, (self.k,), strides=(self.stride,), padding=((pad, pad),),
                     feature_group_count=self.in_ch, kernel_dilation=(self.dilation,),
                     use_bias=False, kernel_init=torch_uniform_init(self.k),
-                    name="depthwise_conv")(x)
-        x = nn.Conv(self.out_ch, (1,), use_bias=False,
+                    dtype=self.dtype, name="depthwise_conv")(x)
+        x = nn.Conv(self.out_ch, (1,), use_bias=False, dtype=self.dtype,
                     kernel_init=torch_uniform_init(self.in_ch), name="pointwise_conv")(x)
         if self.mask:
             x = mask_by_percents(x, percents)
@@ -194,6 +199,7 @@ class QuartNetBlock(nn.Module):
     mask: bool = True
     drop_rate: float = 0.0
     use_se: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -204,10 +210,12 @@ class QuartNetBlock(nn.Module):
             # positional slot here (`QuartNetContext.py:62`), which lands on
             # `last=`; we reproduce the *intended* architecture (mask kwarg).
             x = conv_cls(self.in_ch, self.in_ch, k=self.k, mask=self.mask,
-                         drop_rate=self.drop_rate, name=f"sep{i}")(x, percents, train)
+                         drop_rate=self.drop_rate, dtype=self.dtype,
+                         name=f"sep{i}")(x, percents, train)
         x = conv_cls(self.in_ch, self.out_ch, k=self.k, last=True, mask=self.mask,
-                     drop_rate=self.drop_rate, name="sep_last")(x, percents, train)
-        res = nn.Conv(self.out_ch, (1,), use_bias=False,
+                     drop_rate=self.drop_rate, dtype=self.dtype,
+                     name="sep_last")(x, percents, train)
+        res = nn.Conv(self.out_ch, (1,), use_bias=False, dtype=self.dtype,
                       kernel_init=torch_uniform_init(self.in_ch), name="reside_conv")(start)
         res = MaskedBatchNorm(self.out_ch, name="reside_bn")(res, train)
         return nn.relu(x + res)

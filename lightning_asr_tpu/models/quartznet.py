@@ -46,6 +46,7 @@ class QuartNet12Context(nn.Module):
     mask: bool = False
     use_se: bool = False
     lstm_hidden: int = 40
+    dtype: object = None  # conv compute dtype (bf16 training policy)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -54,19 +55,23 @@ class QuartNet12Context(nn.Module):
         def block(in_ch, out_ch, k, name):
             return QuartNetBlock(
                 repeat=1, in_ch=in_ch, out_ch=out_ch, k=k, mask=self.mask,
-                drop_rate=self.drop_rate, use_se=self.use_se, name=name,
+                drop_rate=self.drop_rate, use_se=self.use_se, dtype=self.dtype,
+                name=name,
             )
 
         x = conv_cls(self.in_c, 256, k=33, stride=2, mask=self.mask,
-                     drop_rate=self.drop_rate, name="first_cnn")(x, percents, train)
+                     drop_rate=self.drop_rate, dtype=self.dtype,
+                     name="first_cnn")(x, percents, train)
         for i, name in enumerate(["block1", "block12", "block13"]):
             x = block(256, 256, 33, name)(x, percents, train)
         for name in ["block2", "block22", "block23"]:
             x = block(256, 256, 39, name)(x, percents, train)
 
         # context branch: BiLSTM over true lengths, concat on channels
+        # (runs in fp32; its Pallas kernel and stats stay full precision)
         lengths = _lengths_from_percents(x.shape[1], percents)
-        c = BatchLSTM(256, self.lstm_hidden, name="context_rnn")(x, lengths)
+        c = BatchLSTM(256, self.lstm_hidden, name="context_rnn")(
+            x.astype(jnp.float32), lengths)
         x = jnp.concatenate([x, c.astype(x.dtype)], axis=-1)  # (B, T, 336)
 
         x = block(336, 512, 51, "block3")(x, percents, train)
@@ -77,7 +82,7 @@ class QuartNet12Context(nn.Module):
         x = block(512, 512, 75, "block5")(x, percents, train)
         x = block(512, 512, 87, "block6")(x, percents, train)
 
-        x = nn.Conv(1024, (1,), use_bias=False,
+        x = nn.Conv(1024, (1,), use_bias=False, dtype=self.dtype,
                     kernel_init=torch_uniform_init(512), name="last_conv")(x)
         x = MaskedBatchNorm(1024, name="last_bn")(x, train)
         x = nn.relu(x)
@@ -92,10 +97,11 @@ class QuartNet15x5(nn.Module):
     in_c: int = 64
     drop_rate: float = 0.0
     mask: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Conv(256, (33,), strides=(2,), padding=((16, 16),), use_bias=True,
+        x = nn.Conv(256, (33,), strides=(2,), padding=((16, 16),), use_bias=True, dtype=self.dtype,
                     kernel_init=torch_uniform_init(64 * 33),
                     bias_init=torch_uniform_init(64 * 33), name="first_cnn")(x)
         x = MaskedBatchNorm(256, name="first_bn")(x, train)
@@ -104,10 +110,11 @@ class QuartNet15x5(nn.Module):
         plan = [(256, 256, 33), (256, 256, 39), (256, 512, 51), (512, 512, 63), (512, 512, 75)]
         for i, (cin, cout, k) in enumerate(plan):
             x = QuartNetBlock(repeat=5, in_ch=cin, out_ch=cout, k=k, mask=self.mask,
-                              drop_rate=self.drop_rate, name=f"block{i + 1}")(x, percents, train)
-        x = SepConv(512, 512, k=87, last=False, mask=self.mask,
+                              drop_rate=self.drop_rate, dtype=self.dtype,
+                              name=f"block{i + 1}")(x, percents, train)
+        x = SepConv(512, 512, k=87, last=False, mask=self.mask, dtype=self.dtype,
                     drop_rate=self.drop_rate, name="last_cnn")(x, percents, train)
-        x = nn.Conv(1024, (1,), use_bias=True,
+        x = nn.Conv(1024, (1,), use_bias=True, dtype=self.dtype,
                     kernel_init=torch_uniform_init(512),
                     bias_init=torch_uniform_init(512), name="last_conv")(x)
         x = MaskedBatchNorm(1024, name="last_bn")(x, train)
@@ -122,19 +129,21 @@ class QuartNet105(nn.Module):
     in_c: int = 64
     drop_rate: float = 0.0
     mask: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = SepConv(self.in_c, 256, k=33, stride=2, mask=self.mask,
+        x = SepConv(self.in_c, 256, k=33, stride=2, mask=self.mask, dtype=self.dtype,
                     drop_rate=self.drop_rate, name="first_cnn")(x, percents, train)
         plan = [(256, 256, 33)] * 2 + [(256, 256, 39)] * 2 + [(256, 512, 51)] \
             + [(512, 512, 51)] + [(512, 512, 63)] * 2 + [(512, 512, 75)] * 2
         for i, (cin, cout, k) in enumerate(plan):
             x = QuartNetBlock(repeat=5, in_ch=cin, out_ch=cout, k=k, mask=self.mask,
-                              drop_rate=self.drop_rate, name=f"block{i + 1}")(x, percents, train)
-        x = SepConv(512, 512, k=87, last=False, mask=self.mask,
+                              drop_rate=self.drop_rate, dtype=self.dtype,
+                              name=f"block{i + 1}")(x, percents, train)
+        x = SepConv(512, 512, k=87, last=False, mask=self.mask, dtype=self.dtype,
                     drop_rate=self.drop_rate, name="last_cnn")(x, percents, train)
-        x = nn.Conv(1024, (1,), use_bias=True,
+        x = nn.Conv(1024, (1,), use_bias=True, dtype=self.dtype,
                     kernel_init=torch_uniform_init(512),
                     bias_init=torch_uniform_init(512), name="last_conv")(x)
         x = MaskedBatchNorm(1024, name="last_bn")(x, train)
@@ -170,6 +179,9 @@ class AsrModel(nn.Module):
     # encoder -> BiLSTM -> BatchNorm -> Dense instead of the 1x1-conv decoder.
     lstm_head: bool = False
     lstm_head_hidden: int = 128
+    # conv compute dtype: jnp.bfloat16 for training throughput (params and
+    # the CTC head stay fp32); None keeps full fp32 (parity mode).
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -181,7 +193,8 @@ class AsrModel(nn.Module):
                          name="feature_mapping")(x)
         enc_cls, enc_kwargs = _ENCODERS[self.encoder_name]
         x = enc_cls(in_c=self.in_c, drop_rate=self.drop_rate, mask=self.mask,
-                    name="encoder", **enc_kwargs)(x, percents, train)
+                    dtype=self.dtype, name="encoder", **enc_kwargs)(x, percents, train)
+        x = x.astype(jnp.float32)  # CTC head in full precision
         if self.lstm_head:
             lengths = _lengths_from_percents(x.shape[1], percents)
             x = BatchLSTM(x.shape[-1], self.lstm_head_hidden, name="head_rnn")(x, lengths)

@@ -55,11 +55,15 @@ def main(argv=None) -> None:
         prefetch_depth=data_cfg.get("prefetch_depth", 2),
     )
 
+    import jax.numpy as jnp
+
+    compute_dtype = {"bf16": jnp.bfloat16, "f32": None}[model_cfg.get("compute_dtype", "bf16")]
     model = build_model(
         num_classes=dm.vocab.num_classes,
         encoder=model_cfg.get("encoder", "quartznet12_context"),
         drop_rate=model_cfg.get("drop_rate", 0.0),
         mask=model_cfg.get("mask", True),
+        dtype=compute_dtype,
     )
 
     total_epoch = train_cfg.get("total_epoch", 100)

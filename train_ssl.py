@@ -49,6 +49,9 @@ def main(argv=None) -> None:
         pseudo_manifest=data_cfg.get("pseudo_manifest"),
     )
 
+    import jax.numpy as jnp
+
+    compute_dtype = {"bf16": jnp.bfloat16, "f32": None}[model_cfg.get("compute_dtype", "bf16")]
     model = build_model(
         num_classes=dm.vocab.num_classes,
         encoder=model_cfg.get("encoder", "quartznet12_context"),
@@ -56,6 +59,7 @@ def main(argv=None) -> None:
         feature_in=512,
         drop_rate=model_cfg.get("drop_rate", 0.0),
         mask=model_cfg.get("mask", True),
+        dtype=compute_dtype,
     )
 
     total_epoch = train_cfg.get("total_epoch", 400)
