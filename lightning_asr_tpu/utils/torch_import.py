@@ -155,10 +155,10 @@ def _sepconv(params: dict, stats: dict, path: tuple, rest: list, w: np.ndarray) 
         _set(params, path + ("pointwise_conv", "kernel"), _conv_kernel(w))
     elif mod == "bn":
         _bn(params, stats, path + ("bn",), rest[1], w)
-    elif mod == "se":  # squeeze-excite variant
-        # se.fc.0.weight / se.fc.2.weight (Sequential) or fc1/fc2
+    elif mod == "se":  # squeeze-excite: se.fc.0.weight / se.fc.2.weight
         if rest[-1] == "weight":
-            which = "fc1" if rest[1] in ("0", "fc1") else "fc2"
+            idx = rest[2] if rest[1] == "fc" else rest[1]
+            which = "fc1" if idx in ("0", "fc1") else "fc2"
             _set(params, path + ("se", which, "kernel"), w.T)
 
 

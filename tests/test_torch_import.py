@@ -54,6 +54,30 @@ def test_full_model_parity_with_reference(mask):
     np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=1e-4)
 
 
+def test_se_variant_parity_with_reference():
+    """The squeeze-excite variant (QuartNetContextSE) must also round-trip."""
+    import models.QuartNetContextSE as ref_se
+
+    torch.manual_seed(2)
+    ref = ref_se.MyModel2(LABELS, drop_rate=0.0, mask=True)
+    ref.eval()
+    params, stats = convert_state_dict(ref.state_dict())
+
+    model = build_model(num_classes=len(LABELS) + 1,
+                        encoder="quartznet12_context_se", mask=True)
+    rng = np.random.default_rng(3)
+    B, F, T = 2, 64, 96
+    x = rng.standard_normal((B, F, T)).astype(np.float32)
+    percents = np.array([1.0, 0.5], np.float32)
+
+    with torch.no_grad():
+        golden = ref(torch.from_numpy(x[:, None]), torch.from_numpy(percents)).numpy()
+    ours = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.moveaxis(x, 1, 2)), jnp.asarray(percents), False)[0])
+    np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=1e-4)
+
+
 def test_parameter_cover():
     """Every torch parameter tensor must land somewhere in the flax tree
     (no silently dropped weights)."""

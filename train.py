@@ -21,7 +21,7 @@ from lightning_asr_tpu.optim import (
     cosine_annealing_warmup_restarts,
     novograd,
 )
-from lightning_asr_tpu.parallel import make_mesh
+from lightning_asr_tpu.parallel import init_distributed, make_mesh
 from lightning_asr_tpu.training import Trainer, init_loggers
 from lightning_asr_tpu.utils import get_logger, load_config, seed_everything
 
@@ -40,6 +40,7 @@ def main(argv=None) -> None:
     seed_everything(seed)
 
     data_cfg, train_cfg, model_cfg = cfg.data, cfg.train, cfg.model
+    init_distributed(train_cfg.get("num_nodes", 1))
 
     dm = AsrDataModule(
         train_manifest=data_cfg.get("train_manifest"),
