@@ -153,38 +153,63 @@ class BucketBatcher:
         max_tgt = max((len(self._encoded[idx]) for idx, _, _ in chunk), default=1)
         L = max(_round_up(max_tgt, self.target_pad_multiple), self.target_pad_multiple)
 
-        waves = np.zeros((B, bucket), np.float32)
-        wave_lens = np.zeros(B, np.int32)
-        prev_samples = np.zeros(B, np.float32)
         targets = np.zeros((B, L), np.int32)
         target_lens = np.zeros(B, np.int32)
         paths, texts = [], []
-
-        for i, (idx, offset, length) in enumerate(chunk):
-            entry = self.entries[idx]
-            samples, sr = read_audio(entry.audio_filepath, mono=True)
-            if sr != self.sample_rate:
-                raise ValueError(
-                    f"{entry.audio_filepath}: sample rate {sr} != {self.sample_rate} "
-                    "(run the prep scripts to resample)"
-                )
-            wave = samples[0]
-            # actual file length may differ slightly from manifest duration
-            n = wave.shape[0]
-            off = min(offset, max(n - 1, 0))
-            ln = min(length, n - off)
-            crop = wave[off : off + ln]
-            waves[i, : crop.shape[0]] = crop
-            wave_lens[i] = crop.shape[0]
-            prev_samples[i] = wave[off - 1] if off > 0 else 0.0
-
+        for i, (idx, _, _) in enumerate(chunk):
             t = self._encoded[idx]
             targets[i, : len(t)] = t
             target_lens[i] = len(t)
-            paths.append(entry.audio_filepath)
-            texts.append(entry.text)
+            paths.append(self.entries[idx].audio_filepath)
+            texts.append(self.entries[idx].text)
 
+        waves, wave_lens, prev_samples = self._decode_chunk(bucket, chunk, paths)
         return Batch(waves, wave_lens, prev_samples, targets, target_lens, paths, texts)
+
+    def _decode_chunk(self, bucket: int, chunk, paths):
+        """Decode + crop the chunk's audio. Fast path: the native threaded
+        WAV loader (GIL-free C++, overlaps with device compute under
+        prefetch); fallback: the pure-python reader."""
+        B = len(chunk)
+        offsets = np.asarray([off for _, off, _ in chunk], np.int32)
+        req_lens = np.asarray([ln for _, _, ln in chunk], np.int32)
+        try:
+            from ..native import load_wav_batch
+
+            waves, lens, prevs, srs = load_wav_batch(paths, offsets, bucket)
+            if (lens < 0).any():
+                raise RuntimeError("native decode failed for "
+                                   + paths[int(np.argmax(lens < 0))])
+            bad_sr = srs != self.sample_rate
+            if bad_sr.any():
+                raise ValueError(
+                    f"{paths[int(np.argmax(bad_sr))]}: sample rate "
+                    f"{int(srs[bad_sr][0])} != {self.sample_rate}")
+            wave_lens = np.minimum(lens, req_lens).astype(np.int32)
+            # zero out anything past the requested crop length
+            t_idx = np.arange(bucket)[None, :]
+            waves = np.where(t_idx < wave_lens[:, None], waves, 0.0)
+            return waves, wave_lens, prevs
+        except (ImportError, OSError, RuntimeError):
+            pass
+
+        waves = np.zeros((B, bucket), np.float32)
+        wave_lens = np.zeros(B, np.int32)
+        prev_samples = np.zeros(B, np.float32)
+        for i, (idx, offset, length) in enumerate(chunk):
+            samples, sr = read_audio(paths[i], mono=True)
+            if sr != self.sample_rate:
+                raise ValueError(
+                    f"{paths[i]}: sample rate {sr} != {self.sample_rate} "
+                    "(run the prep scripts to resample)")
+            wave = samples[0]
+            n = wave.shape[0]
+            off = min(offset, max(n - 1, 0))
+            ln = min(length, n - off, bucket)
+            waves[i, :ln] = wave[off : off + ln]
+            wave_lens[i] = ln
+            prev_samples[i] = wave[off - 1] if off > 0 else 0.0
+        return waves, wave_lens, prev_samples
 
 
 def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:

@@ -81,6 +81,12 @@ def get_lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
+    lib.lasr_load_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return lib
 
@@ -105,3 +111,31 @@ def editdistance_eval(a: Sequence, b: Sequence) -> int:
         return out
 
     return lib.lasr_editdistance(ids(a), len(a), ids(b), len(b))
+
+
+def load_wav_batch(paths, offsets, max_samples: int, num_threads: int = 4):
+    """Decode a batch of WAV files into a padded (B, max_samples) float32
+    array via the native threaded loader (GIL-free).
+
+    Returns (waves, lens, prev_samples, sample_rates); lens[i] == -1 marks a
+    decode failure for row i.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    B = len(paths)
+    out = np.zeros((B, max_samples), np.float32)
+    lens = np.zeros(B, np.int32)
+    prevs = np.zeros(B, np.float32)
+    srs = np.zeros(B, np.int32)
+    offs = np.asarray(offsets if offsets is not None else np.zeros(B), np.int32)
+    c_paths = (ctypes.c_char_p * B)(*[str(p).encode() for p in paths])
+    lib.lasr_load_wav_batch(
+        c_paths, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), B,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_samples,
+        num_threads,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        prevs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, lens, prevs, srs

@@ -431,3 +431,118 @@ int lasr_editdistance(const int* a, int la, const int* b, int lb) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native WAV batch loader — the data-loader runtime component.
+//
+// Decodes PCM16/PCM32/float32 RIFF WAVE files straight into a caller-provided
+// padded float32 batch buffer, fanned out over a thread pool and entirely
+// outside the Python GIL, so host-side batch assembly overlaps device compute
+// (the reference used 6 torch dataloader worker processes for this role).
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+
+extern "C" {
+
+// Decode one wav into out[0..max_samples); returns sample count (clamped),
+// or -1 on error. offset: first sample of the crop window (reference
+// sub_secquence); prev_sample receives the raw sample before the crop.
+int lasr_load_wav(const char* path, float* out, int max_samples,
+                  int offset, float* prev_sample, int* sample_rate) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  unsigned char hdr[12];
+  if (std::fread(hdr, 1, 12, f) != 12 || std::memcmp(hdr, "RIFF", 4) != 0 ||
+      std::memcmp(hdr + 8, "WAVE", 4) != 0) { std::fclose(f); return -1; }
+
+  int audio_format = 0, channels = 1, bits = 16, sr = 0;
+  long data_pos = -1; unsigned data_size = 0;
+  unsigned char chunk[8];
+  while (std::fread(chunk, 1, 8, f) == 8) {
+    unsigned size = chunk[4] | (chunk[5] << 8) | (chunk[6] << 16) |
+                    (unsigned(chunk[7]) << 24);
+    if (std::memcmp(chunk, "fmt ", 4) == 0) {
+      unsigned char fmt[16];
+      if (std::fread(fmt, 1, 16, f) != 16) { std::fclose(f); return -1; }
+      audio_format = fmt[0] | (fmt[1] << 8);
+      channels = fmt[2] | (fmt[3] << 8);
+      sr = fmt[4] | (fmt[5] << 8) | (fmt[6] << 16) | (unsigned(fmt[7]) << 24);
+      bits = fmt[14] | (fmt[15] << 8);
+      if (size > 16) std::fseek(f, size - 16, SEEK_CUR);
+    } else if (std::memcmp(chunk, "data", 4) == 0) {
+      data_pos = std::ftell(f);
+      data_size = size;
+      std::fseek(f, size + (size & 1), SEEK_CUR);
+    } else {
+      std::fseek(f, size + (size & 1), SEEK_CUR);
+    }
+  }
+  if (data_pos < 0 || sr == 0 || channels <= 0) { std::fclose(f); return -1; }
+  if (sample_rate) *sample_rate = sr;
+
+  const int bytes_per = bits / 8;
+  const long n_frames = data_size / (bytes_per * channels);
+  std::fseek(f, data_pos, SEEK_SET);
+  std::vector<unsigned char> raw(data_size);
+  if (std::fread(raw.data(), 1, data_size, f) != data_size) {
+    std::fclose(f); return -1;
+  }
+  std::fclose(f);
+
+  auto sample_at = [&](long i) -> float {  // mono-mixed frame i
+    double acc = 0.0;
+    for (int ch = 0; ch < channels; ++ch) {
+      const unsigned char* p = raw.data() + (i * channels + ch) * bytes_per;
+      if (audio_format == 3 && bits == 32) {
+        float v; std::memcpy(&v, p, 4); acc += v;
+      } else if (bits == 16) {
+        int16_t v = int16_t(p[0] | (p[1] << 8)); acc += v / 32768.0;
+      } else if (bits == 32) {
+        int32_t v; std::memcpy(&v, p, 4); acc += v / 2147483648.0;
+      } else if (bits == 8) {
+        acc += (int(p[0]) - 128) / 128.0;
+      }
+    }
+    return float(acc / channels);
+  };
+
+  if (prev_sample) *prev_sample = (offset > 0 && offset <= n_frames)
+      ? sample_at(offset - 1) : 0.0f;
+  long n = n_frames - offset;
+  if (n < 0) n = 0;
+  if (n > max_samples) n = max_samples;
+  // fast path: mono PCM16 (the prep scripts' output format)
+  if (channels == 1 && bits == 16 && audio_format != 3) {
+    const unsigned char* p = raw.data() + offset * 2;
+    for (long i = 0; i < n; ++i)
+      out[i] = int16_t(p[2 * i] | (p[2 * i + 1] << 8)) / 32768.0f;
+  } else {
+    for (long i = 0; i < n; ++i) out[i] = sample_at(offset + i);
+  }
+  return int(n);
+}
+
+// Batched: fill a (B, max_samples) row-major float32 buffer from B paths,
+// over a thread pool. lens/prev/srs receive per-row results (-1 = error).
+void lasr_load_wav_batch(const char** paths, const int* offsets, int B,
+                         float* out, int max_samples, int num_threads,
+                         int* lens, float* prevs, int* srs) {
+  num_threads = std::max(1, num_threads);
+  std::atomic_int next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= B) return;
+      lens[b] = lasr_load_wav(paths[b], out + int64_t(b) * max_samples,
+                              max_samples, offsets ? offsets[b] : 0,
+                              prevs ? prevs + b : nullptr,
+                              srs ? srs + b : nullptr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < num_threads; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
+}  // extern "C"
