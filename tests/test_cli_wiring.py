@@ -9,7 +9,22 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import importlib.util
+
+_REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_cli(name: str):
+    """Import a repo-root CLI module by explicit path (immune to the
+    reference repo appearing on sys.path with same-named entry files)."""
+    if name in sys.modules and getattr(sys.modules[name], "__file__", "").startswith(str(_REPO)):
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, _REPO / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
 
 from lightning_asr_tpu.data.audio import write_wav
 
@@ -31,7 +46,7 @@ def tiny_corpus(tmp_path):
 
 
 def test_train_cli_wiring(tiny_corpus, tmp_path, monkeypatch):
-    import train as train_mod
+    train_mod = _load_cli("train")
 
     captured = {}
 
@@ -81,7 +96,7 @@ def test_train_cli_wiring(tiny_corpus, tmp_path, monkeypatch):
 def test_train_ssl_cli_wiring(tiny_corpus, tmp_path, monkeypatch):
     import pickle
 
-    import train_ssl as ssl_mod
+    ssl_mod = _load_cli("train_ssl")
 
     feat_dir = tmp_path / "feats"
     feat_dir.mkdir()

@@ -19,7 +19,10 @@ import jax.numpy as jnp
 from lightning_asr_tpu.models import build_model
 from lightning_asr_tpu.utils.torch_import import convert_state_dict
 
-sys.path.insert(0, "/root/reference")
+# append (not insert) so the reference's top-level train.py / train_ssl.py
+# never shadow this repo's CLI modules for other tests
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 ref_models = pytest.importorskip("models.QuartNetContext")
 
