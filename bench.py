@@ -24,6 +24,9 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    from lightning_asr_tpu.utils.logging import enable_compile_cache
+
+    enable_compile_cache()
     from lightning_asr_tpu.models import build_model
     from lightning_asr_tpu.optim import cosine_annealing_warmup_restarts, novograd
     from lightning_asr_tpu.ops.frontend import MelFrontendConfig

@@ -64,6 +64,9 @@ class AsrTranslator:
         return_confidence: bool = False,
     ):
         t0 = time.time()
+        from ..utils.logging import enable_compile_cache
+
+        enable_compile_cache()
         state_raw, meta = load_checkpoint(model_path)
         hparams = meta.get("hparams", {})
         if labels is None:

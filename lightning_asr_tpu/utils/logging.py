@@ -37,6 +37,18 @@ def add_file_handler(logger: logging.Logger, path: str) -> None:
     logger.addHandler(handler)
 
 
+def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
+    """Persistent XLA compile cache — first compile of each graph is slow
+    (remote Mosaic compiles ~minutes); every later process reuses it."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
 def seed_everything(seed: int = 0) -> "jax.Array":  # noqa: F821
     """Seed host RNGs and return the root JAX PRNG key for the run."""
     random.seed(seed)

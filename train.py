@@ -38,6 +38,8 @@ def main(argv=None) -> None:
 
     seed = cfg.get("train.seed", 0)
     seed_everything(seed)
+    from lightning_asr_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
     data_cfg, train_cfg, model_cfg = cfg.data, cfg.train, cfg.model
     init_distributed(train_cfg.get("num_nodes", 1))
