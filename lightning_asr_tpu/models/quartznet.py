@@ -47,6 +47,11 @@ class QuartNet12Context(nn.Module):
     use_se: bool = False
     lstm_hidden: int = 40
     dtype: object = None  # conv compute dtype (bf16 training policy)
+    # Pad the 336-channel context concat (256 + 2x40) up to a 128-lane
+    # multiple (384) with mathematically inert zero channels.  A/B-measured
+    # neutral on v5e (XLA handles the 336 lanes fine), so off by default;
+    # kept as an option for other TPU generations.
+    pad_context: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -73,8 +78,13 @@ class QuartNet12Context(nn.Module):
         c = BatchLSTM(256, self.lstm_hidden, name="context_rnn")(
             x.astype(jnp.float32), lengths)
         x = jnp.concatenate([x, c.astype(x.dtype)], axis=-1)  # (B, T, 336)
+        ctx_ch = 256 + 2 * self.lstm_hidden
+        if self.pad_context and ctx_ch % 128 != 0:
+            pad_ch = (-ctx_ch) % 128
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_ch)))
+            ctx_ch += pad_ch
 
-        x = block(336, 512, 51, "block3")(x, percents, train)
+        x = block(ctx_ch, 512, 51, "block3")(x, percents, train)
         x = block(512, 512, 51, "block32")(x, percents, train)
         x = block(512, 512, 51, "block33")(x, percents, train)
         for name in ["block4", "block42", "block43"]:

@@ -162,6 +162,29 @@ def _sepconv(params: dict, stats: dict, path: tuple, rest: list, w: np.ndarray) 
             _set(params, path + ("se", which, "kernel"), w.T)
 
 
+def pad_to_match(params: dict, template: dict) -> dict:
+    """Zero-pad converted weights whose target (flax) shapes are larger —
+    the TPU-alignment padding of the 336-channel context concat
+    (``models/quartznet.py::QuartNet12Context.pad_context``) grows block3's
+    input-channel dims from 336 to 384; zero padding there is mathematically
+    inert, so padded imports produce identical outputs."""
+    import jax
+
+    def one(src, tgt):
+        src = np.asarray(src)
+        tgt_shape = np.shape(tgt)
+        if src.shape == tuple(tgt_shape):
+            return src
+        if len(src.shape) != len(tgt_shape) or any(
+            s > t for s, t in zip(src.shape, tgt_shape)
+        ):
+            raise ValueError(f"cannot pad {src.shape} to {tgt_shape}")
+        pad = [(0, t - s) for s, t in zip(src.shape, tgt_shape)]
+        return np.pad(src, pad)
+
+    return jax.tree.map(one, params, jax.tree.map(np.asarray, template))
+
+
 def load_reference_checkpoint(path: str | Path) -> Tuple[dict, dict, dict]:
     """Load a reference .ckpt (torch) -> (params, batch_stats, hparams)."""
     import torch

@@ -51,6 +51,20 @@ def main():
     print(f"converted {n / 1e6:.2f}M parameters "
           f"(reference hparams: {sorted(ref_hparams)})")
 
+    # zero-pad to the TPU-aligned flax shapes (mathematically inert)
+    from lightning_asr_tpu.utils.torch_import import pad_to_match
+
+    template_model = build_model(num_classes=vocab.num_classes, encoder=args.encoder,
+                                 mask=bool(ref_hparams.get("mask", True)),
+                                 feature_in=args.feature_in)
+    import jax
+
+    feat_dim0 = args.feature_in or 64
+    template = template_model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, feat_dim0)), jnp.ones((1,)), False)
+    params = pad_to_match(params, template["params"])
+    stats = pad_to_match(stats, template.get("batch_stats", {}))
+
     opt = novograd(1e-3, betas=(0.8, 0.5))
     state = AsrTrainState(
         step=jnp.zeros((), jnp.int32),

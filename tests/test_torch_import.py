@@ -17,7 +17,20 @@ import torch
 import jax.numpy as jnp
 
 from lightning_asr_tpu.models import build_model
-from lightning_asr_tpu.utils.torch_import import convert_state_dict
+from lightning_asr_tpu.utils.torch_import import convert_state_dict, pad_to_match
+
+
+def _convert_for(model, ref):
+    """Convert + zero-pad to the model's (TPU-aligned) shapes."""
+    import jax
+
+    params, stats = convert_state_dict(ref.state_dict())
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, model.in_c if not model.feature_in else model.feature_in)),
+                          jnp.ones((1,)), False)
+    params = pad_to_match(params, template["params"])
+    stats = pad_to_match(stats, template.get("batch_stats", {}))
+    return params, stats
 
 # append (not insert) so the reference's top-level train.py / train_ssl.py
 # never shadow this repo's CLI modules for other tests
@@ -35,9 +48,8 @@ def test_full_model_parity_with_reference(mask):
     ref = ref_models.MyModel2(LABELS, drop_rate=0.0, mask=mask)
     ref.eval()
 
-    params, stats = convert_state_dict(ref.state_dict())
-
     model = build_model(num_classes=len(LABELS) + 1, mask=mask, drop_rate=0.0)
+    params, stats = _convert_for(model, ref)
     variables = {"params": params, "batch_stats": stats}
 
     rng = np.random.default_rng(0)
@@ -64,10 +76,10 @@ def test_se_variant_parity_with_reference():
     torch.manual_seed(2)
     ref = ref_se.MyModel2(LABELS, drop_rate=0.0, mask=True)
     ref.eval()
-    params, stats = convert_state_dict(ref.state_dict())
 
     model = build_model(num_classes=len(LABELS) + 1,
                         encoder="quartznet12_context_se", mask=True)
+    params, stats = _convert_for(model, ref)
     rng = np.random.default_rng(3)
     B, F, T = 2, 64, 96
     x = rng.standard_normal((B, F, T)).astype(np.float32)
@@ -94,12 +106,13 @@ def test_parameter_cover():
     n_torch = sum(p.numel() for p in ref.parameters())
     assert n_flax == n_torch
 
-    # and the flax model accepts the tree directly
+    # after alignment padding the tree matches the flax model exactly
     model = build_model(num_classes=len(LABELS) + 1, mask=True)
     rng = jax.random.PRNGKey(0)
     init = model.init(rng, jnp.zeros((1, 64, 64)), jnp.ones((1,)), False)
+    padded = pad_to_match(params, init["params"])
     flat_init = jax.tree_util.tree_flatten_with_path(init["params"])[0]
-    flat_conv = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_conv = jax.tree_util.tree_flatten_with_path(padded)[0]
     init_paths = {tuple(str(p) for p in path): leaf.shape for path, leaf in flat_init}
     conv_paths = {tuple(str(p) for p in path): leaf.shape for path, leaf in flat_conv}
     assert init_paths == conv_paths
