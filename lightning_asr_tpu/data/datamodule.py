@@ -37,6 +37,8 @@ class AsrDataModule:
         crop: bool = True,
         bucket_seconds: Optional[Sequence[float]] = None,
         prefetch_depth: int = 2,
+        pseudo_manifest=None,
+        pseudo_max_duration: float = 16.7,
     ):
         self.vocab = Vocabulary.from_config(labels)
         self.train_manifest = _as_list(train_manifest)
@@ -54,6 +56,9 @@ class AsrDataModule:
         self.dev_entries: List[ManifestEntry] = []
         self.test_entries: List[ManifestEntry] = []
         self.pseudo_entries: List[ManifestEntry] = []  # SSL pseudo-labels
+        self.pseudo_manifest = _as_list(pseudo_manifest)
+        self.pseudo_max_duration = pseudo_max_duration
+        self.unlabeled_entries: List[ManifestEntry] = []
         self._setup_done = False
 
     def setup(self) -> None:
@@ -65,6 +70,8 @@ class AsrDataModule:
             self.dev_entries = read_manifests(self.dev_manifest, self.dev_max_duration)
         if self.test_manifest:
             self.test_entries = read_manifests(self.test_manifest, self.dev_max_duration)
+        if self.pseudo_manifest:
+            self.unlabeled_entries = read_manifests(self.pseudo_manifest, self.pseudo_max_duration)
         self._setup_done = True
 
     def _batcher(self, entries, bs, train) -> BucketBatcher:
@@ -96,6 +103,12 @@ class AsrDataModule:
         (``train.py:53``)."""
         self.setup()
         return len(self._batcher(self.train_entries + self.pseudo_entries, self.train_bs, train=True))
+
+    def pseudo_train_dataloader(self):
+        """Iterate the unlabeled pool for pseudo-label generation
+        (``ssl_data_module.py:276``)."""
+        self.setup()
+        return self._batcher(self.unlabeled_entries, self.dev_bs, train=False)
 
     # -- SSL pseudo-labeling hooks (ssl_data_module.py:262-281) -------------
     def inject_pseudo_datasets(self, pairs: Sequence[tuple]) -> None:

@@ -4,9 +4,9 @@ Reference behaviors (``/root/reference/ssl_codec/ssl_data_module.py``):
   * offline mode maps each wav to ``{ssl_folder}/{stem}.pkl`` holding
     (1, T, 512) extract_features (:50-52, :60-68);
   * on-the-fly mode runs the frozen extractor inside the collate (:298-301)
-    — supported here on host; the retrain-extractor variant (:302-304)
-    requires the torch wav2vec2 inside the training graph and is out of
-    scope for the TPU graph (use offline/frozen);
+    — supported here on host; the retrain-extractor variant (:302-304) is
+    supported natively on TPU via the flax feature encoder
+    (``ssl_codec/retrain.py`` + ``training/retrain_trainer.py``);
   * train-time ``features_cutout``: 5 random rectangles up to 150 (feature)
     x 100 (time) zeroed (:317-318, :332-350) — applied on-device by the
     train step via ``ops.augment.cutout``;
@@ -152,23 +152,11 @@ class SSLDataModule(AsrDataModule):
         ssl_folder: Optional[str] = None,
         on_the_fly: bool = False,
         ssl_model_name: str = "facebook/wav2vec2-large-xlsr-53",
-        pseudo_manifest=None,
-        pseudo_max_duration: float = 16.7,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
         self.ssl_folder = ssl_folder
         self.extractor = Wav2Vec2Extractor(ssl_model_name) if on_the_fly else None
-        self.pseudo_manifest = _as_list(pseudo_manifest)
-        self.pseudo_max_duration = pseudo_max_duration
-        self.unlabeled_entries: List[ManifestEntry] = []
-
-    def setup(self) -> None:
-        if self._setup_done:
-            return
-        super().setup()
-        if self.pseudo_manifest:
-            self.unlabeled_entries = read_manifests(self.pseudo_manifest, self.pseudo_max_duration)
 
     def _batcher(self, entries, bs, train) -> SSLBucketBatcher:
         kwargs = {}
@@ -179,8 +167,3 @@ class SSLDataModule(AsrDataModule):
             extractor=self.extractor, train=train, seed=self.seed, **kwargs,
         )
 
-    def pseudo_train_dataloader(self) -> SSLBucketBatcher:
-        """Iterate the unlabeled pool for pseudo-label generation
-        (``ssl_data_module.py:276``)."""
-        self.setup()
-        return self._batcher(self.unlabeled_entries, self.dev_bs, train=False)

@@ -145,6 +145,73 @@ def make_train_step(
     return train_step
 
 
+def make_raw_ssl_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    blank_id: int,
+) -> Callable:
+    """Train step for the SSL retrain model (``ssl_codec/retrain.py``): the
+    model consumes raw waveforms and contains the trainable wav2vec2 feature
+    encoder + cutout augmentation; everything else matches make_train_step."""
+
+    def train_step(state: AsrTrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        r_aug, r_drop = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            (log_probs, out_lens), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["waves"], batch["wave_lens"], True,
+                rngs={"dropout": r_drop, "augment": r_aug},
+                mutable=["batch_stats"],
+            )
+            loss = jnp.mean(
+                ctc_loss(log_probs, out_lens, batch["targets"], batch["target_lens"], blank_id)
+            )
+            return loss, (mutated["batch_stats"], log_probs, out_lens)
+
+        (loss, (new_stats, log_probs, out_lens)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(loss)
+        keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+        state = AsrTrainState(
+            step=state.step + 1,
+            params=keep(new_params, state.params),
+            batch_stats=keep(new_stats, state.batch_stats),
+            opt_state=keep(new_opt_state, state.opt_state),
+            nan_count=state.nan_count + jnp.where(finite, 0, 1),
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "finite": finite,
+            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
+            "pred_lens": out_lens,
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_raw_ssl_eval_step(model, blank_id: int) -> Callable:
+    def eval_step(state: AsrTrainState, batch: dict):
+        log_probs, out_lens = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["waves"], batch["wave_lens"], False,
+        )
+        losses = ctc_loss(log_probs, out_lens, batch["targets"], batch["target_lens"], blank_id)
+        return {
+            "losses": losses,
+            "log_probs": log_probs,
+            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
+            "pred_lens": out_lens,
+        }
+
+    return eval_step
+
+
 def make_dual_train_step(
     model,
     optimizer: optax.GradientTransformation,

@@ -141,8 +141,9 @@ class Trainer:
         return {k: jax.device_put(v, self._batch_sharding) for k, v in arrays.items()}
 
     # ------------------------------------------------------------------
-    def fit(self, resume: Optional[str] = None) -> AsrTrainState:
-        state = self.init_state()
+    def fit(self, resume: Optional[str] = None,
+            initial_state: Optional[AsrTrainState] = None) -> AsrTrainState:
+        state = initial_state if initial_state is not None else self.init_state()
         start_epoch = 0
         if resume:
             state, meta = self.checkpoints.restore(state, resume)

@@ -132,3 +132,41 @@ def test_train_ssl_cli_wiring(tiny_corpus, tmp_path, monkeypatch):
     assert captured["fit_called"]
     assert captured["pseudo_start_epoch"] == 300
     assert captured["model"].feature_in == 512
+
+
+def test_train_ssl_retrain_cli_wiring(tiny_corpus, tmp_path, monkeypatch):
+    ssl_mod = _load_cli("train_ssl")
+
+    captured = {}
+
+    class FakeTrainer:
+        def __init__(self, **kwargs):
+            captured.update(kwargs)
+
+        def init_state(self):
+            return "INIT"
+
+        def fit(self, resume=None, initial_state=None):
+            captured["fit_called"] = True
+            captured["initial_state"] = initial_state
+            return "STATE"
+
+        def test(self, state):
+            captured["tested"] = state
+
+    import lightning_asr_tpu.training.retrain_trainer as rt
+
+    monkeypatch.setattr(rt, "SSLRetrainTrainer", FakeTrainer)
+    ssl_mod.main([
+        f'data.train_manifest=["{tiny_corpus}"]',
+        f"data.val_manifest={tiny_corpus}",
+        f"data.test_manifest={tiny_corpus}",
+        "ssl.retrain=true",
+        "train.total_epoch=1",
+        "train.train_batch_size=2",
+        "train.warmup_steps=1",
+        f"run_dir={tmp_path}/retrain-run",
+    ])
+    assert captured.get("fit_called")
+    assert captured["model"].feat_extract_norm == "layer"
+    assert captured["hparams"]["ssl_retrain"] is True

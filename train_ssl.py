@@ -32,6 +32,9 @@ def main(argv=None) -> None:
 
     data_cfg, train_cfg, model_cfg, ssl_cfg = cfg.data, cfg.train, cfg.model, cfg.ssl
 
+    if ssl_cfg.get("retrain"):
+        return _main_retrain(cfg)
+
     dm = SSLDataModule(
         train_manifest=data_cfg.get("train_manifest"),
         dev_manifest=data_cfg.get("val_manifest"),
@@ -104,6 +107,82 @@ def main(argv=None) -> None:
     )
 
     state = trainer.fit(resume=train_cfg.get("checkpoint"))
+    trainer.test(state)
+
+
+def _main_retrain(cfg) -> None:
+    """``ssl.retrain=true``: train the wav2vec2 feature encoder jointly,
+    entirely inside the TPU graph (raw-waveform batches; the reference's
+    retrain-the-extractor mode, ``ssl_data_module.py:302-304``)."""
+    from lightning_asr_tpu.data import AsrDataModule
+    from lightning_asr_tpu.ssl_codec.retrain import SSLRetrainAsrModel
+    from lightning_asr_tpu.training.retrain_trainer import SSLRetrainTrainer
+
+    data_cfg, train_cfg, model_cfg, ssl_cfg = cfg.data, cfg.train, cfg.model, cfg.ssl
+    seed = cfg.get("train.seed", 0)
+
+    dm = AsrDataModule(
+        train_manifest=data_cfg.get("train_manifest"),
+        dev_manifest=data_cfg.get("val_manifest"),
+        test_manifest=data_cfg.get("test_manifest"),
+        labels=data_cfg.get("labels"),
+        train_bs=train_cfg.get("train_batch_size", 32),
+        dev_bs=train_cfg.get("dev_batch_size", 32),
+        train_max_duration=data_cfg.get("train_max_duration", 16.7),
+        dev_max_duration=data_cfg.get("dev_max_duration", 40),
+        seed=seed,
+        crop=False,  # crops would desync wav2vec frame counts mid-epoch
+        bucket_seconds=data_cfg.get("bucket_seconds"),
+        pseudo_manifest=data_cfg.get("pseudo_manifest"),
+    )
+    model = SSLRetrainAsrModel(
+        num_classes=dm.vocab.num_classes,
+        encoder_name=model_cfg.get("encoder", "quartznet12_context"),
+        drop_rate=model_cfg.get("drop_rate", 0.0),
+        mask=model_cfg.get("mask", True),
+        feat_extract_norm=ssl_cfg.get("feat_extract_norm", "layer"),
+        conv_bias=ssl_cfg.get("conv_bias", True),
+    )
+    total_epoch = train_cfg.get("total_epoch", 400)
+    lr = float(train_cfg.get("learning_rate", 1e-2))
+    schedule = cosine_annealing_warmup_restarts(
+        first_cycle_steps=max(total_epoch * dm.steps_per_epoch(), 2),
+        cycle_mult=train_cfg.get("cycle_mult", 1),
+        max_lr=lr, min_lr=float(train_cfg.get("min_lr", 1e-4)),
+        warmup_steps=train_cfg.get("warmup_steps", 1000),
+        gamma=train_cfg.get("lr_gamma", 0.1))
+    optimizer = novograd(schedule, betas=tuple(train_cfg.get("novograd_betas", (0.8, 0.5))),
+                         weight_decay=float(train_cfg.get("weight_decay", 1e-3)))
+
+    run_dir = Path(cfg.get("run_dir", "outputs/ssl-retrain"))
+    trainer = SSLRetrainTrainer(
+        model=model, optimizer=optimizer, datamodule=dm, total_epochs=total_epoch,
+        check_val_every_n_epoch=train_cfg.get("check_val_every_n_epoch", 1),
+        log_every_n_steps=train_cfg.get("log_every_n_steps", 10),
+        run_dir=run_dir, loggers=init_loggers(cfg.get("loggers"), run_dir),
+        lr_schedule=schedule, mesh=make_mesh(train_cfg.get("n_devices")), seed=seed,
+        pseudo_start_epoch=ssl_cfg.get("pseudo_start_epoch", 300),
+        pseudo_every_n_epochs=ssl_cfg.get("pseudo_every_n_epochs", 7),
+        pseudo_confidence_threshold=ssl_cfg.get("pseudo_confidence_threshold", 0.01),
+        hparams={"labels": dm.vocab.labels, "use_cer": dm.vocab.use_cer,
+                 "encoder": model_cfg.get("encoder", "quartznet12_context"),
+                 "ssl_retrain": True},
+    )
+    # optionally warm-start the encoder from a local HF checkpoint state_dict
+    init_ckpt = ssl_cfg.get("hf_encoder_state_dict")
+    initial_state = None
+    if init_ckpt:
+        import torch
+
+        from lightning_asr_tpu.ssl_codec.retrain import load_hf_encoder_into_params
+
+        sd = torch.load(init_ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        initial_state = trainer.init_state()
+        initial_state = initial_state.replace(params=load_hf_encoder_into_params(
+            initial_state.params, sd, norm=ssl_cfg.get("feat_extract_norm", "layer")))
+        logger.info("warm-started wav2vec encoder from %s", init_ckpt)
+    state = trainer.fit(resume=train_cfg.get("checkpoint"), initial_state=initial_state)
     trainer.test(state)
 
 
