@@ -71,3 +71,55 @@ def test_hf_weights_inject():
     enc = Wav2Vec2FeatureEncoderFlax(feat_extract_norm="group", conv_bias=False)
     ours = np.asarray(enc.apply({"params": new_params["wav2vec"]}, jnp.asarray(x)))
     np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=1e-4)
+
+
+def test_raw_ssl_train_step_mechanics():
+    """Exercise make_raw_ssl_train_step's grads/optimizer/NaN-guard wiring
+    with a tiny stand-in model (same (waves, lens, train) signature)."""
+    import flax.linen as nn
+    import optax
+
+    from lightning_asr_tpu.optim import novograd
+    from lightning_asr_tpu.training.steps import (
+        AsrTrainState, make_raw_ssl_eval_step, make_raw_ssl_train_step)
+
+    C = 5
+
+    class TinyModel(nn.Module):
+        @nn.compact
+        def __call__(self, waves, wave_lens, train=False):
+            x = waves.reshape(waves.shape[0], -1, 100)       # (B, T, 100)
+            if train:
+                self.make_rng("augment")                     # rng plumbing
+                x = x * (1.0 - nn.Dropout(0.1, deterministic=False)(
+                    jnp.zeros_like(x)))
+            x = nn.Dense(C)(x)
+            log_probs = nn.log_softmax(x, axis=-1)
+            out_lens = wave_lens // 100
+            return log_probs, out_lens
+
+    model = TinyModel()
+    rng = jax.random.PRNGKey(0)
+    waves = jax.random.normal(rng, (4, 2000)) * 0.1
+    lens = jnp.full((4,), 2000, jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng, "augment": rng},
+                           waves, lens, True)
+    opt = novograd(1e-2, betas=(0.8, 0.5), weight_decay=1e-3)
+    state = AsrTrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(variables["params"]),
+        nan_count=jnp.zeros((), jnp.int32))
+
+    batch = {"waves": waves, "wave_lens": lens,
+             "targets": jnp.ones((4, 8), jnp.int32),
+             "target_lens": jnp.full((4,), 4, jnp.int32)}
+    step = jax.jit(make_raw_ssl_train_step(model, opt, blank_id=C - 1))
+    state, metrics = step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1 and int(state.nan_count) == 0
+    assert metrics["preds"].shape == (4, 20)
+
+    eval_step = jax.jit(make_raw_ssl_eval_step(model, blank_id=C - 1))
+    out = eval_step(state, batch)
+    assert np.isfinite(np.asarray(out["losses"])).all()
