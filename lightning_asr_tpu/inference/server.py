@@ -6,18 +6,76 @@ transcription.
 Uses Flask when installed; otherwise falls back to a stdlib
 ``http.server`` implementation with identical request/response semantics,
 so the server works in dependency-free environments.
+
+Beyond the reference (which serves one request at a time): a dynamic
+batcher — concurrent requests are collected for up to ``max_wait_ms`` or
+``max_batch`` and transcribed as ONE device batch, so serving throughput
+scales with TPU batch efficiency instead of request latency.
 """
 
 from __future__ import annotations
 
 import io
 import logging
+import queue
 import re
-from typing import Optional
+import threading
+from concurrent.futures import Future
+from typing import List, Optional
 
+import numpy as np
+
+from ..data.audio import read_audio
 from .predict import AsrTranslator
 
 logger = logging.getLogger(__name__)
+
+
+class DynamicBatcher:
+    """Collect concurrent transcription requests into device batches."""
+
+    def __init__(self, translator: AsrTranslator, max_batch: int = 8,
+                 max_wait_ms: float = 20.0):
+        self.translator = translator
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def translate(self, audio) -> str:
+        samples, sr = read_audio(audio, mono=True)
+        if sr != self.translator.frontend.sample_rate:
+            raise ValueError(
+                f"expected {self.translator.frontend.sample_rate} Hz audio, got {sr}")
+        fut: "Future[str]" = Future()
+        self._queue.put((samples[0], fut))
+        return fut.result()
+
+    def _run(self) -> None:
+        while True:
+            wave, fut = self._queue.get()
+            batch: List = [(wave, fut)]
+            deadline = None
+            while len(batch) < self.max_batch:
+                import time as _time
+
+                if deadline is None:
+                    deadline = _time.monotonic() + self.max_wait
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                texts = self.translator.transcribe_batch([w for w, _ in batch])
+                for (_, f), text in zip(batch, texts):
+                    f.set_result(text if isinstance(text, str) else text[0])
+            except Exception as e:  # pragma: no cover
+                for _, f in batch:
+                    f.set_exception(e)
 
 
 def _parse_multipart_file(body: bytes, content_type: str, field: str = "audio") -> Optional[bytes]:
@@ -81,9 +139,16 @@ def serve(
     make_stdlib_server(translator, host, port).serve_forever()
 
 
-def make_stdlib_server(translator: AsrTranslator, host: str = "127.0.0.1", port: int = 0):
-    """stdlib HTTP server exposing the same POST / contract (testable)."""
+def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
+                       batching: bool = False, max_batch: int = 8,
+                       max_wait_ms: float = 20.0):
+    """stdlib HTTP server exposing the same POST / contract (testable).
+    ``batching=True`` wraps the translator in a DynamicBatcher so concurrent
+    requests share device batches."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if batching:
+        translator = DynamicBatcher(translator, max_batch, max_wait_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):

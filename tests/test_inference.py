@@ -70,11 +70,25 @@ def test_evaluate_manifest_with_csv(checkpoint_dir, wav_path, tmp_path):
     assert csv_path.exists() and "audio_filepath" in csv_path.read_text()
 
 
+def test_dynamic_batcher(checkpoint_dir, wav_path):
+    """Concurrent requests share a device batch and all get correct text."""
+    import concurrent.futures
+
+    from lightning_asr_tpu.inference.server import DynamicBatcher
+
+    tr = AsrTranslator(checkpoint_dir)
+    expected = tr.translate(wav_path)
+    batcher = DynamicBatcher(tr, max_batch=4, max_wait_ms=50)
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(lambda _: batcher.translate(wav_path), range(4)))
+    assert results == [expected] * 4
+
+
 def test_http_server_contract(checkpoint_dir, wav_path):
     tr = AsrTranslator(checkpoint_dir)
     expected = tr.translate(wav_path)
 
-    server = make_stdlib_server(tr, "127.0.0.1", 0)
+    server = make_stdlib_server(tr, "127.0.0.1", 0, batching=True, max_wait_ms=10)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
