@@ -52,6 +52,8 @@ class Trainer:
         lr_schedule: Optional[Callable] = None,
         frontend: MelFrontendConfig = MelFrontendConfig(),
         augment: bool | str | None = True,
+        freq_mask: float | int = 27,
+        time_mask: float | int = 0.07,
         normalize: bool = True,
         mesh=None,
         checkpoint_top_k: int = 3,
@@ -97,7 +99,8 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(
                 model, optimizer, self.vocab.blank_id, frontend,
-                augment=augment, from_features=from_features, normalize=normalize,
+                augment=augment, freq_mask=freq_mask, time_mask=time_mask,
+                from_features=from_features, normalize=normalize,
             ),
             donate_argnums=(0,),
         )

@@ -108,6 +108,8 @@ def main(argv=None) -> None:
         lr_schedule=schedule,
         frontend=MelFrontendConfig(precision=data_cfg.get("frontend_precision", "default")),
         augment=data_cfg.get("augment", True),
+        freq_mask=data_cfg.get("freq_mask", 27),
+        time_mask=data_cfg.get("time_mask", 0.07),
         mesh=make_mesh(train_cfg.get("n_devices")),
         seed=seed,
         plateau=plateau,
