@@ -57,6 +57,30 @@ def create_train_state(model, optimizer, rng, feature_shape=(1, 320, 64)) -> Asr
     )
 
 
+def _guarded_update(state, optimizer, loss, grads, new_stats, log_probs, out_lens):
+    """Optimizer update + in-graph NaN-skip guard + step metrics — shared by
+    every train-step variant."""
+    updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    finite = jnp.isfinite(loss)
+    keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+    new_state = AsrTrainState(
+        step=state.step + 1,
+        params=keep(new_params, state.params),
+        batch_stats=keep(new_stats, state.batch_stats),
+        opt_state=keep(new_opt_state, state.opt_state),
+        nan_count=state.nan_count + jnp.where(finite, 0, 1),
+    )
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        "finite": finite,
+        "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
+        "pred_lens": out_lens,
+    }
+    return new_state, metrics
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -117,30 +141,8 @@ def make_train_step(
         (loss, (new_stats, log_probs, out_lens)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-
-        finite = jnp.isfinite(loss)
-        keep = lambda new, old: jax.tree.map(
-            lambda a, b: jnp.where(finite, a, b), new, old
-        )
-        state = AsrTrainState(
-            step=state.step + 1,
-            params=keep(new_params, state.params),
-            batch_stats=keep(new_stats, state.batch_stats),
-            opt_state=keep(new_opt_state, state.opt_state),
-            nan_count=state.nan_count + jnp.where(finite, 0, 1),
-        )
-        grad_norm = optax.global_norm(grads)
-        metrics = {
-            "loss": loss,
-            "grad_norm": grad_norm,
-            "finite": finite,
-            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
-            "pred_lens": out_lens,
-        }
-        return state, metrics
+        return _guarded_update(state, optimizer, loss, grads, new_stats,
+                               log_probs, out_lens)
 
     return train_step
 
@@ -172,25 +174,8 @@ def make_raw_ssl_train_step(
 
         (loss, (new_stats, log_probs, out_lens)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        finite = jnp.isfinite(loss)
-        keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
-        state = AsrTrainState(
-            step=state.step + 1,
-            params=keep(new_params, state.params),
-            batch_stats=keep(new_stats, state.batch_stats),
-            opt_state=keep(new_opt_state, state.opt_state),
-            nan_count=state.nan_count + jnp.where(finite, 0, 1),
-        )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "finite": finite,
-            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
-            "pred_lens": out_lens,
-        }
-        return state, metrics
+        return _guarded_update(state, optimizer, loss, grads, new_stats,
+                               log_probs, out_lens)
 
     return train_step
 
@@ -252,25 +237,8 @@ def make_dual_train_step(
 
         (loss, (new_stats, log_probs, out_lens)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        finite = jnp.isfinite(loss)
-        keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
-        state = AsrTrainState(
-            step=state.step + 1,
-            params=keep(new_params, state.params),
-            batch_stats=keep(new_stats, state.batch_stats),
-            opt_state=keep(new_opt_state, state.opt_state),
-            nan_count=state.nan_count + jnp.where(finite, 0, 1),
-        )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "finite": finite,
-            "preds": jnp.argmax(log_probs, axis=-1).astype(jnp.int32),
-            "pred_lens": out_lens,
-        }
-        return state, metrics
+        return _guarded_update(state, optimizer, loss, grads, new_stats,
+                               log_probs, out_lens)
 
     return train_step
 
