@@ -154,8 +154,18 @@ class MultiLogger(BaseLogger):
             lg.finalize()
 
 
+_comet_logger: Optional[CometLogger] = None
+
+
+def get_comet_experiment():
+    """Global Comet experiment accessor (``exp_loggers.py:29-32`` parity);
+    None when Comet is unavailable/disabled."""
+    return _comet_logger._exp if _comet_logger is not None else None
+
+
 def init_loggers(cfg, run_dir: str | Path = "outputs") -> MultiLogger:
     """Build the logger fan-out from the ``loggers`` config section."""
+    global _comet_logger
     run_dir = Path(run_dir)
     loggers = [CSVLogger(run_dir)]
     tb_cfg = (cfg or {}).get("tensorboard", {}) if cfg else {}
@@ -164,11 +174,12 @@ def init_loggers(cfg, run_dir: str | Path = "outputs") -> MultiLogger:
         tb_cfg.get("name", "default"),
     ))
     comet_cfg = (cfg or {}).get("comet", {}) if cfg else {}
-    loggers.append(CometLogger(
+    _comet_logger = CometLogger(
         api_key=comet_cfg.get("COMET_API_KEY"),
         workspace=comet_cfg.get("workspace"),
         project_name=comet_cfg.get("project_name"),
         experiment_name=comet_cfg.get("experiment_fixed_name"),
         experiment_key=comet_cfg.get("experiment_key"),
-    ))
+    )
+    loggers.append(_comet_logger)
     return MultiLogger(loggers)
