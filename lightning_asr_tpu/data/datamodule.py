@@ -74,10 +74,27 @@ class AsrDataModule:
             self.unlabeled_entries = read_manifests(self.pseudo_manifest, self.pseudo_max_duration)
         self._setup_done = True
 
+    @staticmethod
+    def _shard_info() -> tuple[int, int, int]:
+        """(rank, world, global device count) for multi-host data loading —
+        each process assembles only its slice of every global batch (the
+        reference's PL DDP sampler analog, ``/root/reference/train.py:251``)."""
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                return jax.process_index(), jax.process_count(), jax.device_count()
+        except Exception:
+            pass
+        return 0, 1, 1
+
     def _batcher(self, entries, bs, train) -> BucketBatcher:
         kwargs = {}
         if self.bucket_seconds is not None:
             kwargs["bucket_seconds"] = self.bucket_seconds
+        rank, world, n_dev = self._shard_info()
+        if world > 1:
+            kwargs.update(shard_rank=rank, shard_count=world, pad_to=n_dev)
         return BucketBatcher(
             entries, self.vocab, bs, train=train, crop=self.crop and train,
             seed=self.seed, **kwargs,

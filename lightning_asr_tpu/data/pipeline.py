@@ -50,10 +50,15 @@ class Batch:
     paths: List[str] = field(default_factory=list)
     texts: List[str] = field(default_factory=list)
     extra: Optional[dict] = None  # extra device arrays (dual-stream raw audio)
+    # multi-host: arrays above hold only this process's contiguous row-slice
+    # of a global batch of this many rows (None = single-host, arrays global)
+    global_size: Optional[int] = None
+    # rows in THIS shard that are real data (not mesh-divisibility padding)
+    valid_size: Optional[int] = None
 
     @property
     def size(self) -> int:
-        return self.waves.shape[0]
+        return self.waves.shape[0] if self.valid_size is None else self.valid_size
 
     @property
     def audio_seconds(self) -> float:
@@ -80,7 +85,23 @@ class BucketBatcher:
         drop_last: Optional[bool] = None,
         seed: int = 0,
         target_pad_multiple: int = 32,
+        shard_rank: int = 0,
+        shard_count: int = 1,
+        pad_to: int = 1,
     ):
+        """``shard_rank``/``shard_count``: multi-host data parallelism.  Every
+        process computes the IDENTICAL global batch plan (deterministic in
+        (entries, seed, epoch)) so bucket sequence and shapes agree across the
+        pod, then assembles/decodes only its contiguous row-slice of each
+        global batch.  ``pad_to`` (global device count) rounds the global
+        batch size so rows split evenly over the mesh; pad rows carry
+        wave_lens=160 to keep per-utterance normalization finite and are
+        dropped host-side via ``Batch.valid_size``."""
+        if shard_count > 1 and pad_to % shard_count != 0:
+            raise ValueError(f"pad_to={pad_to} must be a multiple of shard_count={shard_count}")
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
+        self.pad_to = max(pad_to, 1)
         self.entries = list(entries)
         self.vocab = vocab
         self.batch_size = batch_size
@@ -149,9 +170,23 @@ class BucketBatcher:
             yield self._assemble(bucket, chunk)
 
     def _assemble(self, bucket: int, chunk: list[tuple[int, int, int]]) -> Batch:
-        B = len(chunk)
+        # L is derived from the GLOBAL chunk before any shard slicing so all
+        # processes compile/execute the same global shapes (SPMD requirement).
         max_tgt = max((len(self._encoded[idx]) for idx, _, _ in chunk), default=1)
         L = max(_round_up(max_tgt, self.target_pad_multiple), self.target_pad_multiple)
+
+        global_size = None
+        shard_valid = None
+        if self.shard_count > 1:
+            global_size = _round_up(len(chunk), self.pad_to)
+            rows_per_proc = global_size // self.shard_count
+            lo = self.shard_rank * rows_per_proc
+            hi = lo + rows_per_proc
+            shard_valid = min(max(len(chunk) - lo, 0), rows_per_proc)
+            chunk = chunk[lo:hi]
+            B = rows_per_proc
+        else:
+            B = len(chunk)
 
         targets = np.zeros((B, L), np.int32)
         target_lens = np.zeros(B, np.int32)
@@ -164,7 +199,13 @@ class BucketBatcher:
             texts.append(self.entries[idx].text)
 
         waves, wave_lens, prev_samples = self._decode_chunk(bucket, chunk, paths)
-        return Batch(waves, wave_lens, prev_samples, targets, target_lens, paths, texts)
+        if self.shard_count > 1 and len(chunk) < B:  # mesh-divisibility pad rows
+            pad = B - len(chunk)
+            waves = np.concatenate([waves, np.zeros((pad, bucket), np.float32)])
+            wave_lens = np.concatenate([wave_lens, np.full(pad, 160, np.int32)])
+            prev_samples = np.concatenate([prev_samples, np.zeros(pad, np.float32)])
+        return Batch(waves, wave_lens, prev_samples, targets, target_lens, paths, texts,
+                     global_size=global_size, valid_size=shard_valid)
 
     def _decode_chunk(self, bucket: int, chunk, paths):
         """Decode + crop the chunk's audio. Fast path: the native threaded

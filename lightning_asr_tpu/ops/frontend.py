@@ -239,25 +239,33 @@ def log_mel_spectrogram(
 
     # fp32 storage throughout; cfg.precision only selects the MXU pass count
     # ("default" = 1-pass bf16 multiplies).  An all-bf16-storage variant was
-    # A/B-measured slightly SLOWER in the full train step (33.2 vs 31.9 ms)
-    # — the conv algorithm XLA picks for bf16 inputs loses more than the
-    # halved bandwidth saves here.
+    # A/B-measured slightly SLOWER in the full train step (33.2 vs 31.9 ms).
+    #
+    # The DFT runs as hop-aligned FRAME MATMULS instead of a strided conv:
+    # window t covers hop-frames t..t+3, so spec[t] = sum_j frames[t+j] @
+    # filters[:, j*hop:(j+1)*hop]^T — four (B*T,hop)x(hop,2F) MXU matmuls on
+    # natural (B,T,·) layout, no im2col and no NCH transposes (the
+    # lax.conv_general_dilated formulation measured ~5 ms slower here).
     filters = jnp.asarray(dft_filters(cfg))            # (2F, n_fft)
-    # conv1d: (B, 1, S_ext) * (2F, 1, n_fft) stride hop -> (B, 2F, T)
-    spec = lax.conv_general_dilated(
-        q[:, None, :],
-        filters[:, None, :],
-        window_strides=(cfg.hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=cfg.lax_precision(),
-    )
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    B, S_ext = q.shape
+    T = (S_ext - n_fft) // hop + 1
+    n_chunks = -(-n_fft // hop)                        # 4 for 512/160
+    needed = (T + n_chunks) * hop
+    if needed > S_ext:
+        q = jnp.concatenate([q, jnp.zeros((B, needed - S_ext), q.dtype)], axis=1)
+    qf = q[:, :needed].reshape(B, T + n_chunks, hop)
+    spec = None
+    for j in range(n_chunks):
+        w = filters[:, j * hop : min((j + 1) * hop, n_fft)]  # (2F, <=hop)
+        xj = qf[:, j : j + T, : w.shape[1]]
+        part = jnp.einsum("bth,fh->btf", xj, w, precision=cfg.lax_precision())
+        spec = part if spec is None else spec + part   # (B, T, 2F)
     F = cfg.n_freqs
-    power = spec[:, :F, :] ** 2 + spec[:, F:, :] ** 2  # (B, F, T)
+    power = spec[..., :F] ** 2 + spec[..., F:] ** 2    # (B, T, F)
 
     fb = jnp.asarray(mel_filterbank(cfg))              # (F, n_mels)
-    # (B, T, F) @ (F, n_mels) -> (B, T, n_mels)
-    mel = jnp.einsum("bft,fm->btm", power, fb, precision=cfg.lax_precision())
+    mel = jnp.einsum("btf,fm->btm", power, fb, precision=cfg.lax_precision())
 
     log_mel = 10.0 * jnp.log10(jnp.maximum(mel, cfg.amin))
 

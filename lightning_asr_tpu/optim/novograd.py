@@ -16,11 +16,23 @@ TPU notes: the transform is elementwise + per-tensor reductions — XLA fuses
 it into the backward pass; state is two scalars + one momentum tensor per
 parameter.  ``learning_rate`` may be a scalar or an optax schedule; the step
 count lives in the optimizer state.
+
+``fused=True`` (the default) runs the whole update on ONE flat parameter
+buffer: tensors are padded to 2048-element chunks and concatenated; the
+~200 per-tensor norm reductions become a single chunked reduction plus one
+small dense segment matmul (chunk sums x 0/1 tensor-membership matrix), and
+the moment/step math becomes one fused elementwise pass — a handful of
+kernels instead of ~10 per parameter tensor.  Scatter/gather-free by design
+(gathers cost ~85 ns/element on TPU): per-tensor scalars are broadcast back
+to chunks through the transposed segment matmul.  Numerics are identical up
+to fp32 summation order.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +46,61 @@ class NovogradState(NamedTuple):
     max_exp_avg_sq: optax.Updates   # scalar per tensor (amsgrad)
 
 
+class FusedNovogradState(NamedTuple):
+    count: jnp.ndarray          # scalar int32 step counter
+    exp_avg: jnp.ndarray        # (n_chunks, CHUNK) f32 momentum, flat layout
+    exp_avg_sq: jnp.ndarray     # (n_tensors,) f32
+    max_exp_avg_sq: jnp.ndarray  # (n_tensors,) f32 (amsgrad)
+
+
+_CHUNK = 2048  # flat-buffer chunk; tensors are zero-padded to a multiple
+
+
+class _FlatLayout:
+    """Static chunked layout of a parameter pytree: each leaf occupies whole
+    2048-element chunks of one flat buffer; ``seg`` is the dense 0/1
+    (n_tensors, n_chunks) membership matrix used to reduce chunk sums to
+    per-tensor scalars and to broadcast per-tensor scalars back to chunks."""
+
+    def __init__(self, params):
+        leaves, self.treedef = jax.tree.flatten(params)
+        self.shapes = [l.shape for l in leaves]
+        self.dtypes = [l.dtype for l in leaves]
+        self.sizes = [int(np.prod(s)) if s else 1 for s in self.shapes]
+        self.chunks = [-(-n // _CHUNK) for n in self.sizes]
+        self.n_tensors = len(leaves)
+        self.n_chunks = sum(self.chunks)
+        seg = np.zeros((self.n_tensors, self.n_chunks), np.float32)
+        off = 0
+        self.chunk_offsets = []
+        for i, c in enumerate(self.chunks):
+            seg[i, off:off + c] = 1.0
+            self.chunk_offsets.append(off)
+            off += c
+        self.seg = seg
+
+    def flatten(self, tree) -> jnp.ndarray:
+        """-> (n_chunks, CHUNK) f32, zero-padded per tensor."""
+        leaves = self.treedef.flatten_up_to(tree)
+        parts = []
+        for leaf, n, c in zip(leaves, self.sizes, self.chunks):
+            flat = jnp.ravel(leaf).astype(jnp.float32)
+            if c * _CHUNK != n:
+                flat = jnp.concatenate([flat, jnp.zeros(c * _CHUNK - n, jnp.float32)])
+            parts.append(flat)
+        return jnp.concatenate(parts).reshape(self.n_chunks, _CHUNK)
+
+    def unflatten(self, buf: jnp.ndarray):
+        """(n_chunks, CHUNK) -> pytree with original shapes/dtypes."""
+        flat = buf.reshape(-1)
+        leaves = []
+        for shape, dtype, n, off in zip(self.shapes, self.dtypes, self.sizes,
+                                        self.chunk_offsets):
+            piece = jax.lax.dynamic_slice_in_dim(flat, off * _CHUNK, n)
+            leaves.append(piece.reshape(shape).astype(dtype))
+        return self.treedef.unflatten(leaves)
+
+
 def novograd(
     learning_rate: optax.ScalarOrSchedule,
     betas: tuple[float, float] = (0.95, 0.98),
@@ -44,12 +111,16 @@ def novograd(
     luc: bool = False,
     luc_trust: float = 1e-3,
     luc_eps: float = 1e-8,
+    fused: bool = True,
 ) -> optax.GradientTransformation:
     beta1, beta2 = betas
     if not (0.0 <= beta1 < 1.0 and 0.0 <= beta2 < 1.0):
         raise ValueError(f"Betas have to be between 0 and 1: {betas}")
     if eps < 0:
         raise ValueError(f"Invalid epsilon value: {eps}")
+    if fused:
+        return _novograd_fused(learning_rate, beta1, beta2, eps, weight_decay,
+                               grad_averaging, amsgrad, luc, luc_trust, luc_eps)
 
     def init_fn(params):
         return NovogradState(
@@ -101,5 +172,61 @@ def novograd(
 
         new_updates = jax.tree.map(step_update, new_m, params)
         return new_updates, NovogradState(state.count + 1, new_m, new_v, new_vm)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _novograd_fused(learning_rate, beta1, beta2, eps, weight_decay,
+                    grad_averaging, amsgrad, luc, luc_trust, luc_eps
+                    ) -> optax.GradientTransformation:
+    """Flat-buffer NovoGrad (see module docstring). Same update order as the
+    reference (``/root/reference/scheduler/novograd.py:113-143``) including
+    the init-to-first-norm second-moment quirk."""
+
+    def init_fn(params):
+        layout = _FlatLayout(params)
+        return FusedNovogradState(
+            count=jnp.zeros((), jnp.int32),
+            exp_avg=jnp.zeros((layout.n_chunks, _CHUNK), jnp.float32),
+            exp_avg_sq=jnp.zeros((layout.n_tensors,), jnp.float32),
+            max_exp_avg_sq=jnp.zeros((layout.n_tensors,), jnp.float32),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("novograd requires params (weight decay / LUC)")
+        layout = _FlatLayout(params)
+        seg = jnp.asarray(layout.seg)                       # (N, C) 0/1
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        lr = jnp.asarray(lr, jnp.float32)
+
+        g = layout.flatten(updates)                         # (C, CHUNK)
+        p = layout.flatten(params)
+
+        norms = seg @ jnp.sum(g * g, axis=1)                # (N,) grad L2^2
+        v = state.exp_avg_sq
+        v_new = jnp.where(v == 0.0, norms, beta2 * v + (1.0 - beta2) * norms)
+        vmax_new = jnp.maximum(state.max_exp_avg_sq, v_new) if amsgrad \
+            else state.max_exp_avg_sq
+        denom_t = jnp.sqrt(vmax_new if amsgrad else v_new) + eps   # (N,)
+        denom_c = denom_t @ seg                             # (C,) broadcast back
+
+        gn = g / denom_c[:, None]
+        if weight_decay != 0.0:
+            gn = gn + weight_decay * p                      # pad rows of p are 0
+        if grad_averaging:
+            gn = gn * (1.0 - beta1)
+        m_new = beta1 * state.exp_avg + gn
+
+        if luc:
+            data_norm = jnp.sqrt(seg @ jnp.sum(p * p, axis=1))
+            grad_norm = jnp.sqrt(seg @ jnp.sum(m_new * m_new, axis=1))
+            factor_t = jnp.minimum(luc_trust * data_norm / (grad_norm + luc_eps), lr)
+            u = -(factor_t @ seg)[:, None] * m_new
+        else:
+            u = -lr * m_new
+
+        new_updates = layout.unflatten(u)
+        return new_updates, FusedNovogradState(state.count + 1, m_new, v_new, vmax_new)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -23,9 +23,16 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Multi-host note: call ``save``/``restore`` collectively from ALL
+    processes with the SAME (shared-filesystem) directory — orbax writes from
+    the primary host and barriers internally; host-side file management
+    (rmtree, metadata.json, index.json) happens on process 0 only."""
+
     def __init__(self, directory: str | Path, top_k: int = 3, monitor: str = "val_wer"):
         self.directory = Path(directory).resolve()
-        self.directory.mkdir(parents=True, exist_ok=True)
+        self._primary = jax.process_index() == 0
+        if self._primary:
+            self.directory.mkdir(parents=True, exist_ok=True)
         self.top_k = top_k
         self.monitor = monitor
         self._ckpt = ocp.StandardCheckpointer()
@@ -41,11 +48,14 @@ class CheckpointManager:
         self._index_path.write_text(json.dumps(self._index, indent=2))
 
     def _save_tree(self, path: Path, state: Any, metadata: dict) -> None:
-        if path.exists():
+        if self._primary and path.exists():
             shutil.rmtree(path)
+        # collective on multi-host: orbax writes from the primary and
+        # synchronizes processes internally
         self._ckpt.save(path / "state", state)
         self._ckpt.wait_until_finished()
-        (path / "metadata.json").write_text(json.dumps(metadata, indent=2, default=str))
+        if self._primary:
+            (path / "metadata.json").write_text(json.dumps(metadata, indent=2, default=str))
 
     def save(self, state: Any, epoch: int, metrics: dict, hparams: Optional[dict] = None) -> None:
         """Save 'last' always; keep the top-k best by the monitored metric."""
@@ -65,9 +75,10 @@ class CheckpointManager:
             while len(self._index["saved"]) > self.top_k:
                 worst = self._index["saved"].pop()
                 worst_path = self.directory / worst["name"]
-                if worst_path.exists():
+                if self._primary and worst_path.exists():
                     shutil.rmtree(worst_path)
-        self._write_index()
+        if self._primary:
+            self._write_index()
 
     @property
     def best(self) -> Optional[str]:

@@ -128,6 +128,12 @@ class CometLogger(BaseLogger):
         if self._exp is not None:
             self._exp.log_text(f"[{tag}] {text}", step=int(step))
 
+    def log_code(self, folder: str | Path) -> None:
+        """Upload a source snapshot of ``folder`` to the experiment —
+        ``exp_loggers.py:26`` parity (``log_code(folder='../../../../')``)."""
+        if self._exp is not None:
+            self._exp.log_code(folder=str(folder))
+
     def finalize(self):
         if self._exp is not None:
             self._exp.end()
@@ -170,7 +176,7 @@ def init_loggers(cfg, run_dir: str | Path = "outputs") -> MultiLogger:
     loggers = [CSVLogger(run_dir)]
     tb_cfg = (cfg or {}).get("tensorboard", {}) if cfg else {}
     loggers.append(TensorBoardLogger(
-        tb_cfg.get("save_dir", run_dir / "tensorboard_log"),
+        tb_cfg.get("save_dir") or run_dir / "tensorboard_log",
         tb_cfg.get("name", "default"),
     ))
     comet_cfg = (cfg or {}).get("comet", {}) if cfg else {}
@@ -181,5 +187,8 @@ def init_loggers(cfg, run_dir: str | Path = "outputs") -> MultiLogger:
         experiment_name=comet_cfg.get("experiment_fixed_name"),
         experiment_key=comet_cfg.get("experiment_key"),
     )
+    # Source snapshot per experiment (exp_loggers.py:26): upload the package
+    # root rather than the reference's fragile '../../../../' relative hop.
+    _comet_logger.log_code(Path(__file__).resolve().parents[2])
     loggers.append(_comet_logger)
     return MultiLogger(loggers)

@@ -36,6 +36,18 @@ from .steps import AsrTrainState, make_eval_step, make_train_step
 logger = logging.getLogger(__name__)
 
 
+def _local_np(arr) -> np.ndarray:
+    """Fetch an output array host-side. Batch-sharded outputs are not fully
+    addressable on multi-host — return this process's contiguous rows (which
+    align with the batcher's row-slice); replicated/single-host arrays pass
+    through."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start if s.index[0].start else 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 class Trainer:
     def __init__(
         self,
@@ -86,6 +98,7 @@ class Trainer:
         self.wer = WER(self.vocab.labels, self.vocab.use_cer)
         self.checkpoints = CheckpointManager(self.run_dir / "checkpoints", checkpoint_top_k)
         self.epoch = 0
+        self.epoch_stats: list[dict] = []  # per-epoch wall/audio-sec (bench_e2e)
         self.from_features = from_features
         self.callbacks = list(callbacks or [])
         self.should_stop = False
@@ -110,6 +123,25 @@ class Trainer:
         )
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
+        self._n_procs = jax.process_count()
+        if self._n_procs > 1:
+            self._check_shard_layout()
+
+    def _check_shard_layout(self) -> None:
+        """The multi-host batcher hands each process the contiguous row-slice
+        [rank*rpp, (rank+1)*rpp) of the global batch; that is only correct if
+        the mesh's device order is process-major. Verify once at init."""
+        n_dev = self.mesh.devices.size
+        probe = (n_dev,)  # one row per device
+        idx_map = self._batch_sharding.addressable_devices_indices_map(probe)
+        rows = sorted(s[0].start if s[0].start is not None else 0 for s in idx_map.values())
+        rpp = n_dev // self._n_procs
+        expect = [jax.process_index() * rpp + i for i in range(rpp)]
+        if rows != expect:
+            raise RuntimeError(
+                f"mesh device order is not process-major: process "
+                f"{jax.process_index()} owns rows {rows}, expected {expect}; "
+                "build the mesh from jax.devices() default order for multi-host runs")
 
     # ------------------------------------------------------------------
     def init_state(self) -> AsrTrainState:
@@ -132,6 +164,16 @@ class Trainer:
         }
         if batch.extra:
             arrays.update(batch.extra)
+        if batch.global_size is not None:
+            # Multi-host: arrays hold this process's contiguous row-slice of a
+            # global batch (pre-padded by the batcher); stitch the global
+            # jax.Array from per-process shards. The reference delegated this
+            # to PL's DDP sampler + NCCL (/root/reference/train.py:233-251).
+            return {
+                k: jax.make_array_from_process_local_data(
+                    self._batch_sharding, v, (batch.global_size,) + v.shape[1:])
+                for k, v in arrays.items()
+            }
         B = batch.waves.shape[0]
         if B % n_dev != 0:  # pad rows to a multiple of mesh size (eval tail)
             padded_B = -(-B // n_dev) * n_dev
@@ -225,18 +267,20 @@ class Trainer:
                     }
                     if self.lr_schedule is not None:
                         log["lr"] = float(self.lr_schedule(step - 1))
-                    if step % max(self.train_wer_every_n_steps, 1) == 0:
+                    if step % max(self.train_wer_every_n_steps, 1) == 0 and batch.size:
                         hyps = greedy_decode_to_strings(
-                            metrics["preds"], metrics["pred_lens"],
+                            _local_np(metrics["preds"]), _local_np(metrics["pred_lens"]),
                             self.vocab.labels, self.vocab.blank_id)
-                        refs = self.wer.decode_reference(batch.targets, batch.target_lens)
+                        refs = self.wer.decode_reference(
+                            batch.targets[: batch.size], batch.target_lens[: batch.size])
                         log["train_wer"] = WER(self.vocab.labels, self.vocab.use_cer).update(
                             hyps[: batch.size], refs)
                     self.loggers.log_metrics(log, step)
 
-            if i % self.sample_log_every_n_batches == 0:
+            if i % self.sample_log_every_n_batches == 0 and batch.size:
                 hyps = greedy_decode_to_strings(
-                    metrics["preds"], metrics["pred_lens"], self.vocab.labels, self.vocab.blank_id)
+                    _local_np(metrics["preds"]), _local_np(metrics["pred_lens"]),
+                    self.vocab.labels, self.vocab.blank_id)
                 refs = self.wer.decode_reference(batch.targets, batch.target_lens)
                 logger.info("pred: %s", hyps[0])
                 logger.info("true: %s", refs[0])
@@ -244,6 +288,11 @@ class Trainer:
                 cb.on_train_batch_end(self, state, metrics, batch, i)
 
         dt = time.monotonic() - t_epoch
+        self.epoch_stats.append({
+            "epoch": epoch, "batches": n_batches, "wall_sec": dt,
+            "audio_sec": audio_seconds,
+            "audio_sec_per_sec": audio_seconds / max(dt, 1e-9),
+        })
         logger.info(
             "epoch %d: %d batches, %.1fs, %.1f audio-sec/sec",
             epoch, n_batches, dt, audio_seconds / max(dt, 1e-9),
@@ -262,14 +311,32 @@ class Trainer:
             with self.profiler.profile(f"{tag}_step"):
                 out = self._eval_step(state, self._device_batch(batch))
             n = batch.size
-            losses.extend(np.asarray(out["losses"])[:n].tolist())
+            if n == 0:  # multi-host tail shard with only pad rows
+                continue
+            losses.extend(_local_np(out["losses"])[:n].tolist())
             hyps = greedy_decode_to_strings(
-                out["preds"], out["pred_lens"], self.vocab.labels, self.vocab.blank_id)[:n]
-            refs = self.wer.decode_reference(batch.targets, batch.target_lens)
+                _local_np(out["preds"]), _local_np(out["pred_lens"]),
+                self.vocab.labels, self.vocab.blank_id)[:n]
+            refs = self.wer.decode_reference(batch.targets[:n], batch.target_lens[:n])
             batch_wers.append(metric.update(hyps, refs))
             if i % self.sample_log_every_n_batches == 0:
                 logger.info("[%s] pred: %s", tag, hyps[0])
                 logger.info("[%s] true: %s", tag, refs[0])
+        if self._n_procs > 1:
+            # Cross-host metric reduction — the reference's torchmetrics
+            # dist_reduce_fx='sum' analog (asr_metrics.py:114-115): sum error
+            # counts / words / losses over processes, then normalize.
+            from jax.experimental import multihost_utils
+
+            local = np.asarray([metric.scores, metric.words, float(np.sum(losses)),
+                                float(len(losses)), float(np.sum(batch_wers)),
+                                float(len(batch_wers))], np.float64)
+            tot = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+            return {
+                f"{tag}_loss": float(tot[2] / tot[3]) if tot[3] else float("inf"),
+                f"{tag}_wer": float(tot[4] / tot[5]) if tot[5] else float("inf"),
+                f"{tag}_wer_corpus": float(tot[0] / tot[1]) if tot[1] else float("inf"),
+            }
         mean_batch_wer = float(np.mean(batch_wers)) if batch_wers else float("inf")
         return {
             f"{tag}_loss": float(np.mean(losses)) if losses else float("inf"),

@@ -112,7 +112,21 @@ def parse_overrides(args: Iterable[str]) -> list[tuple[str, Any]]:
 
 
 def _resolve_interpolations(cfg: Config) -> None:
-    """Resolve ${a.b} references against the root config, in place."""
+    """Resolve ``${a.b}`` references against the root config, in place.
+
+    Also supports hydra's ``${now:%Y-%m-%d}`` resolver (one timestamp per
+    resolution pass, so every ``now:`` in a config shares the same instant) —
+    used by the run-dir template in ``conf/log/hypra_logger.yaml``, mirroring
+    ``/root/reference/conf/log/hypra_logger.yaml:40-41``.
+    """
+    import datetime
+
+    now = datetime.datetime.now()
+
+    def lookup(name: str, depth: int) -> Any:
+        if name.startswith("now:"):
+            return now.strftime(name[4:])
+        return resolve(cfg.get(name), depth)
 
     def resolve(val: Any, depth: int = 0) -> Any:
         if depth > 10:
@@ -120,11 +134,10 @@ def _resolve_interpolations(cfg: Config) -> None:
         if isinstance(val, str):
             m = _INTERP.fullmatch(val.strip())
             if m:  # whole-string reference: keep the referenced type
-                return resolve(cfg.get(m.group(1)), depth + 1)
+                return lookup(m.group(1), depth + 1)
 
             def sub(mm: re.Match) -> str:
-                ref = cfg.get(mm.group(1))
-                ref = resolve(ref, depth + 1)
+                ref = lookup(mm.group(1), depth + 1)
                 return "" if ref is None else str(ref)
 
             return _INTERP.sub(sub, val)

@@ -37,6 +37,37 @@ def add_file_handler(logger: logging.Logger, path: str) -> None:
     logger.addHandler(handler)
 
 
+def setup_run_dir(cfg, default: str = "outputs/run") -> "Path":  # noqa: F821
+    """Resolve the templated run directory from the ``log`` config group,
+    create it, and wire job logging into it.
+
+    Mirrors the reference's hydra-managed run dirs
+    (``/root/reference/conf/log/hypra_logger.yaml:40-41``): every run lands in
+    ``outputs/${model_name}/${date}/${time}-${experiment_name}`` with a
+    formatted file+console logging profile (``job_logging`` section).  Falls
+    back to a top-level ``run_dir`` key, then to ``default``.
+    """
+    from pathlib import Path
+
+    run_dir = Path(cfg.get("log.run.dir") or cfg.get("run_dir") or default)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    job = cfg.get("log.job_logging")
+    if job:
+        fmt = job.get("format", _FORMAT)
+        level = getattr(logging, str(job.get("level", "INFO")).upper(), logging.INFO)
+        pkg = logging.getLogger("lightning_asr_tpu")
+        pkg.setLevel(level)
+        for h in pkg.handlers:
+            h.setFormatter(logging.Formatter(fmt))
+        filename = job.get("filename")
+        if filename:
+            handler = logging.FileHandler(run_dir / filename, encoding="utf-8")
+            handler.setFormatter(logging.Formatter(fmt))
+            pkg.addHandler(handler)
+    return run_dir
+
+
 def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
     """Persistent XLA compile cache — first compile of each graph is slow
     (remote Mosaic compiles ~minutes); every later process reuses it."""

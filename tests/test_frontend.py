@@ -187,3 +187,35 @@ def test_filterbank_matches_torchaudio():
     ours = mel_filterbank(CFG)
     golden = torch_mel_filterbank().numpy()
     np.testing.assert_allclose(ours, golden, rtol=0, atol=1e-6)
+
+
+def test_logmel_matches_recorded_goldens():
+    """Committed .npz goldens (scripts/record_frontend_goldens.py): 10 varied
+    signals (tones, sweep, AM, silence, clipping, odd/short/long lengths, DC
+    offset).  The archive records its oracle — real torchaudio when the
+    recording env has it, else the float64 formula reconstruction — so the
+    parity chain no longer depends on rebuilding the oracle at test time."""
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "goldens" / "frontend_goldens.npz"
+    data = np.load(path)
+    names = sorted(k.split("/", 1)[1] for k in data.files if k.startswith("wave/"))
+    assert len(names) == 10, names
+    for name in names:
+        wave = data[f"wave/{name}"]
+        golden = data[f"logmel/{name}"]  # (64, T)
+        n = wave.shape[0]
+        mels, mel_lens = log_mel_spectrogram(
+            jnp.asarray(wave)[None, :], jnp.asarray([n], jnp.int32), CFG)
+        assert int(mel_lens[0]) == golden.shape[1], name
+        ours = np.asarray(mels[0, : golden.shape[1]]).T
+        err = np.abs(ours - golden)
+        # Audible cells (> -60 dB) are essentially exact; cells at the
+        # spectral-null floor differ only by fp32-vs-fp64 leakage (harmless
+        # after the per-utterance normalization that always follows).
+        loud = golden > -50.0
+        assert err[loud].max() < 2e-3 if loud.any() else True, name
+        # spectral-null cells (< -50 dB) may differ by ~1 dB from fp32
+        # summation-order effects; they are zero-information after the
+        # per-utterance normalization that always follows
+        assert err.max() < 2.0, name

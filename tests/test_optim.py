@@ -146,3 +146,33 @@ def test_lr_policy_zoo():
 
     with pytest.raises(ValueError):
         get_lr_policy("NotAPolicy")
+
+
+@pytest.mark.parametrize("amsgrad,luc", [(False, False), (True, False), (False, True)])
+def test_novograd_fused_matches_unfused(amsgrad, luc):
+    """The flat-buffer fused path must reproduce the per-tensor path across
+    ragged shapes (incl. scalars and >1-chunk tensors), amsgrad and LUC."""
+    rng = np.random.default_rng(1)
+    params = {
+        "w": rng.standard_normal((64, 77)).astype(np.float32),   # 4928 elems > 2 chunks
+        "b": rng.standard_normal((3,)).astype(np.float32),
+        "s": np.float32(rng.standard_normal()),                   # scalar leaf
+        "k": rng.standard_normal((2049,)).astype(np.float32),     # chunk+1
+    }
+    kw = dict(betas=(0.8, 0.5), eps=1e-8, weight_decay=1e-3,
+              amsgrad=amsgrad, luc=luc)
+    runs = {}
+    for fused in (False, True):
+        opt = novograd(1e-2, fused=fused, **kw)
+        jp = {k: jnp.asarray(v) for k, v in params.items()}
+        state = opt.init(jp)
+        r = np.random.default_rng(2)
+        for _ in range(4):
+            jg = {k: jnp.asarray(r.standard_normal(np.shape(v)).astype(np.float32))
+                  for k, v in params.items()}
+            updates, state = opt.update(jg, state, jp)
+            jp = optax.apply_updates(jp, updates)
+        runs[fused] = jp
+    for k in params:
+        np.testing.assert_allclose(np.asarray(runs[True][k]), np.asarray(runs[False][k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)

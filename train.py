@@ -23,7 +23,7 @@ from lightning_asr_tpu.optim import (
 )
 from lightning_asr_tpu.parallel import init_distributed, make_mesh
 from lightning_asr_tpu.training import Trainer, init_loggers
-from lightning_asr_tpu.utils import get_logger, load_config, seed_everything
+from lightning_asr_tpu.utils import get_logger, load_config, seed_everything, setup_run_dir
 
 logger = get_logger("train")
 logging.getLogger("lightning_asr_tpu").setLevel(logging.INFO)
@@ -95,7 +95,11 @@ def main(argv=None) -> None:
             learning_rate=lr, betas=betas, weight_decay=wd)
         schedule = None
 
-    run_dir = Path(cfg.get("run_dir", "outputs/run"))
+    run_dir = setup_run_dir(cfg, default="outputs/run")
+    logger.info("run dir: %s", run_dir)
+    import jax
+
+    is_primary = jax.process_index() == 0  # loggers write from process 0 only
     trainer = Trainer(
         model=model,
         optimizer=optimizer,
@@ -104,7 +108,7 @@ def main(argv=None) -> None:
         check_val_every_n_epoch=train_cfg.get("check_val_every_n_epoch", 1),
         log_every_n_steps=train_cfg.get("log_every_n_steps", 10),
         run_dir=run_dir,
-        loggers=init_loggers(cfg.get("loggers"), run_dir),
+        loggers=init_loggers(cfg.get("loggers"), run_dir) if is_primary else None,
         lr_schedule=schedule,
         frontend=MelFrontendConfig(precision=data_cfg.get("frontend_precision", "default")),
         augment=data_cfg.get("augment", True),

@@ -16,7 +16,7 @@ from lightning_asr_tpu.parallel import make_mesh
 from lightning_asr_tpu.ssl_codec.ssl_datamodule import SSLDataModule
 from lightning_asr_tpu.training import init_loggers
 from lightning_asr_tpu.training.ssl_trainer import SSLTrainer
-from lightning_asr_tpu.utils import get_logger, load_config, seed_everything
+from lightning_asr_tpu.utils import get_logger, load_config, seed_everything, setup_run_dir
 
 logger = get_logger("train_ssl")
 logging.getLogger("lightning_asr_tpu").setLevel(logging.INFO)
@@ -79,7 +79,7 @@ def main(argv=None) -> None:
     optimizer = novograd(schedule, betas=tuple(train_cfg.get("novograd_betas", (0.8, 0.5))),
                          weight_decay=float(train_cfg.get("weight_decay", 1e-3)))
 
-    run_dir = Path(cfg.get("run_dir", "outputs/ssl-run"))
+    run_dir = setup_run_dir(cfg, default="outputs/ssl-run")
     trainer = SSLTrainer(
         model=model,
         optimizer=optimizer,
@@ -154,7 +154,7 @@ def _main_retrain(cfg) -> None:
     optimizer = novograd(schedule, betas=tuple(train_cfg.get("novograd_betas", (0.8, 0.5))),
                          weight_decay=float(train_cfg.get("weight_decay", 1e-3)))
 
-    run_dir = Path(cfg.get("run_dir", "outputs/ssl-retrain"))
+    run_dir = setup_run_dir(cfg, default="outputs/ssl-retrain")
     trainer = SSLRetrainTrainer(
         model=model, optimizer=optimizer, datamodule=dm, total_epochs=total_epoch,
         check_val_every_n_epoch=train_cfg.get("check_val_every_n_epoch", 1),

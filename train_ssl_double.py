@@ -16,7 +16,7 @@ from lightning_asr_tpu.parallel import make_mesh
 from lightning_asr_tpu.ssl_codec.dual_datamodule import DualSSLDataModule
 from lightning_asr_tpu.training import init_loggers
 from lightning_asr_tpu.training.dual_trainer import DualSSLTrainer
-from lightning_asr_tpu.utils import get_logger, load_config, seed_everything
+from lightning_asr_tpu.utils import get_logger, load_config, seed_everything, setup_run_dir
 
 logger = get_logger("train_ssl_double")
 logging.getLogger("lightning_asr_tpu").setLevel(logging.INFO)
@@ -69,7 +69,7 @@ def main(argv=None) -> None:
     optimizer = novograd(schedule, betas=tuple(train_cfg.get("novograd_betas", (0.8, 0.5))),
                          weight_decay=float(train_cfg.get("weight_decay", 1e-3)))
 
-    run_dir = Path(cfg.get("run_dir", "outputs/ssl-double-run"))
+    run_dir = setup_run_dir(cfg, default="outputs/ssl-double-run")
     trainer = DualSSLTrainer(
         model=model,
         optimizer=optimizer,
