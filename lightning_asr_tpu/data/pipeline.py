@@ -42,7 +42,8 @@ DEFAULT_BUCKET_SECONDS = (2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.7, 20.0, 30.0
 
 @dataclass
 class Batch:
-    waves: np.ndarray          # (B, S_bucket) float32 (or features (B, T, F))
+    waves: np.ndarray          # (B, S_bucket) float32 or int16 PCM wire
+                               # format (or features (B, T, F) float32)
     wave_lens: np.ndarray      # (B,) int32 true sample/frame counts
     prev_samples: np.ndarray   # (B,) float32 sample preceding each crop
     targets: np.ndarray        # (B, L_bucket) int32 padded label ids
@@ -88,6 +89,7 @@ class BucketBatcher:
         shard_rank: int = 0,
         shard_count: int = 1,
         pad_to: int = 1,
+        wire_dtype: str = "int16",
     ):
         """``shard_rank``/``shard_count``: multi-host data parallelism.  Every
         process computes the IDENTICAL global batch plan (deterministic in
@@ -102,6 +104,9 @@ class BucketBatcher:
         self.shard_rank = shard_rank
         self.shard_count = shard_count
         self.pad_to = max(pad_to, 1)
+        # int16 wire format: wavs are 16-bit PCM, so sample*32768 is exact —
+        # halves host->device transfer bytes (the device frontend rescales).
+        self.wire_dtype = wire_dtype
         self.entries = list(entries)
         self.vocab = vocab
         self.batch_size = batch_size
@@ -199,9 +204,12 @@ class BucketBatcher:
             texts.append(self.entries[idx].text)
 
         waves, wave_lens, prev_samples = self._decode_chunk(bucket, chunk, paths)
+        if self.wire_dtype == "int16" and waves.dtype != np.int16:
+            # fallback path decoded float; native path already emits int16
+            waves = np.round(waves * 32768.0).clip(-32768, 32767).astype(np.int16)
         if self.shard_count > 1 and len(chunk) < B:  # mesh-divisibility pad rows
             pad = B - len(chunk)
-            waves = np.concatenate([waves, np.zeros((pad, bucket), np.float32)])
+            waves = np.concatenate([waves, np.zeros((pad, bucket), waves.dtype)])
             wave_lens = np.concatenate([wave_lens, np.full(pad, 160, np.int32)])
             prev_samples = np.concatenate([prev_samples, np.zeros(pad, np.float32)])
         return Batch(waves, wave_lens, prev_samples, targets, target_lens, paths, texts,
@@ -217,7 +225,8 @@ class BucketBatcher:
         try:
             from ..native import load_wav_batch
 
-            waves, lens, prevs, srs = load_wav_batch(paths, offsets, bucket)
+            waves, lens, prevs, srs = load_wav_batch(
+                paths, offsets, bucket, dtype=self.wire_dtype)
             if (lens < 0).any():
                 raise RuntimeError("native decode failed for "
                                    + paths[int(np.argmax(lens < 0))])

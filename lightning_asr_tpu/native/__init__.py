@@ -87,6 +87,13 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "lasr_load_wav_batch_i16"):  # rebuilt lib
+        lib.lasr_load_wav_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ]
     _lib = lib
     return lib
 
@@ -113,29 +120,38 @@ def editdistance_eval(a: Sequence, b: Sequence) -> int:
     return lib.lasr_editdistance(ids(a), len(a), ids(b), len(b))
 
 
-def load_wav_batch(paths, offsets, max_samples: int, num_threads: int = 4):
-    """Decode a batch of WAV files into a padded (B, max_samples) float32
-    array via the native threaded loader (GIL-free).
+def load_wav_batch(paths, offsets, max_samples: int, num_threads: int = 4,
+                   dtype: str = "float32"):
+    """Decode a batch of WAV files into a padded (B, max_samples) array via
+    the native threaded loader (GIL-free).
 
-    Returns (waves, lens, prev_samples, sample_rates); lens[i] == -1 marks a
-    decode failure for row i.
+    ``dtype='int16'`` keeps raw PCM16 samples (mono PCM16 files decode as a
+    straight memcpy) — half the host->device wire bytes; the device frontend
+    rescales by 1/32768.  Returns (waves, lens, prev_samples, sample_rates);
+    lens[i] == -1 marks a decode failure for row i.
     """
     import numpy as np
 
     lib = get_lib()
     B = len(paths)
-    out = np.zeros((B, max_samples), np.float32)
     lens = np.zeros(B, np.int32)
     prevs = np.zeros(B, np.float32)
     srs = np.zeros(B, np.int32)
     offs = np.asarray(offsets if offsets is not None else np.zeros(B), np.int32)
     c_paths = (ctypes.c_char_p * B)(*[str(p).encode() for p in paths])
-    lib.lasr_load_wav_batch(
-        c_paths, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), B,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_samples,
-        num_threads,
+    common = (
+        c_paths, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), B)
+    tail = (
+        max_samples, num_threads,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         prevs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-    )
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if dtype == "int16" and hasattr(lib, "lasr_load_wav_batch_i16"):
+        out = np.zeros((B, max_samples), np.int16)
+        lib.lasr_load_wav_batch_i16(
+            *common, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), *tail)
+    else:
+        out = np.zeros((B, max_samples), np.float32)
+        lib.lasr_load_wav_batch(
+            *common, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *tail)
     return out, lens, prevs, srs

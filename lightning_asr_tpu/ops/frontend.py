@@ -230,7 +230,12 @@ def log_mel_spectrogram(
       mels: (B, T, n_mels) float32 log-mel (dB), un-normalized.
       mel_lens: (B,) int32 valid frame counts.
     """
-    waves = waves.astype(jnp.float32)
+    if waves.dtype == jnp.int16:
+        # int16 PCM wire format (halves host->device transfer); the decode
+        # normalization (sample / 32768) moves on-device here.
+        waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
+    else:
+        waves = waves.astype(jnp.float32)
     if rng is not None and cfg.dither > 0:
         waves = waves + cfg.dither * jax.random.normal(rng, waves.shape, jnp.float32)
     waves = _preemphasis(waves, prev_samples, cfg.preemph)

@@ -98,6 +98,7 @@ class Trainer:
         self.wer = WER(self.vocab.labels, self.vocab.use_cer)
         self.checkpoints = CheckpointManager(self.run_dir / "checkpoints", checkpoint_top_k)
         self.epoch = 0
+        self.global_step = 0  # host-side mirror of state.step (avoids per-step sync)
         self.epoch_stats: list[dict] = []  # per-epoch wall/audio-sec (bench_e2e)
         self.from_features = from_features
         self.callbacks = list(callbacks or [])
@@ -195,6 +196,7 @@ class Trainer:
             state = jax.device_put(state, self._replicated)
             start_epoch = int(meta.get("epoch", -1)) + 1
             logger.info("resumed from %s at epoch %d", resume, start_epoch)
+        self.global_step = int(state.step)
 
         self.loggers.log_hyperparams(self.hparams)
         n_params = sum(p.size for p in jax.tree.leaves(state.params))
@@ -244,18 +246,30 @@ class Trainer:
     def on_train_epoch_end(self, state, epoch) -> None:
         pass
 
+    def _device_iter(self, batcher):
+        """Decode + assemble + host->device transfer in the prefetch thread,
+        so transfers overlap device compute (double buffering); yields
+        (host_batch, device_batch)."""
+        def gen():
+            for batch in batcher:
+                yield batch, self._device_batch(batch)
+
+        return prefetch(gen(), self.dm.prefetch_depth)
+
     def _train_epoch(self, state: AsrTrainState, epoch: int) -> AsrTrainState:
         batcher = self.dm.train_dataloader(epoch)
         t_epoch = time.monotonic()
         audio_seconds = 0.0
         n_batches = 0
-        for i, batch in enumerate(prefetch(iter(batcher), self.dm.prefetch_depth)):
+        for i, (batch, dev_batch) in enumerate(self._device_iter(batcher)):
             with self.profiler.profile("train_step"):
-                dev_batch = self._device_batch(batch)
                 state, metrics = self._train_step(state, dev_batch, self.rng)
             audio_seconds += batch.audio_seconds
             n_batches += 1
-            step = int(state.step)
+            # host-side step counter: fetching state.step would force a
+            # device sync every step and serialize transfer against compute
+            self.global_step += 1
+            step = self.global_step
 
             if step % self.log_every_n_steps == 0:
                 with self.profiler.profile("train_logging"):
@@ -307,9 +321,9 @@ class Trainer:
         metric = WER(self.vocab.labels, self.vocab.use_cer)
         batch_wers = []
         losses = []
-        for i, batch in enumerate(prefetch(iter(batcher), self.dm.prefetch_depth)):
+        for i, (batch, dev_batch) in enumerate(self._device_iter(batcher)):
             with self.profiler.profile(f"{tag}_step"):
-                out = self._eval_step(state, self._device_batch(batch))
+                out = self._eval_step(state, dev_batch)
             n = batch.size
             if n == 0:  # multi-host tail shard with only pad rows
                 continue

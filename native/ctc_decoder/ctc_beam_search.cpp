@@ -448,8 +448,12 @@ extern "C" {
 // Decode one wav into out[0..max_samples); returns sample count (clamped),
 // or -1 on error. offset: first sample of the crop window (reference
 // sub_secquence); prev_sample receives the raw sample before the crop.
-int lasr_load_wav(const char* path, float* out, int max_samples,
-                  int offset, float* prev_sample, int* sample_rate) {
+// Exactly one of out_f32 / out_i16 must be non-null: the i16 form keeps the
+// raw PCM16 samples (mono PCM16 = straight memcpy) — half the bytes on the
+// wire to the device, which rescales by 1/32768.
+static int load_wav_impl(const char* path, float* out_f32, int16_t* out_i16,
+                         int max_samples, int offset, float* prev_sample,
+                         int* sample_rate) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   unsigned char hdr[12];
@@ -515,34 +519,74 @@ int lasr_load_wav(const char* path, float* out, int max_samples,
   // fast path: mono PCM16 (the prep scripts' output format)
   if (channels == 1 && bits == 16 && audio_format != 3) {
     const unsigned char* p = raw.data() + offset * 2;
-    for (long i = 0; i < n; ++i)
-      out[i] = int16_t(p[2 * i] | (p[2 * i + 1] << 8)) / 32768.0f;
+    if (out_i16) {
+      std::memcpy(out_i16, p, size_t(n) * 2);  // little-endian both sides
+    } else {
+      for (long i = 0; i < n; ++i)
+        out_f32[i] = int16_t(p[2 * i] | (p[2 * i + 1] << 8)) / 32768.0f;
+    }
+  } else if (out_i16) {
+    for (long i = 0; i < n; ++i) {
+      float v = sample_at(offset + i) * 32768.0f;
+      v = std::max(-32768.0f, std::min(32767.0f, v));
+      out_i16[i] = int16_t(std::lrintf(v));
+    }
   } else {
-    for (long i = 0; i < n; ++i) out[i] = sample_at(offset + i);
+    for (long i = 0; i < n; ++i) out_f32[i] = sample_at(offset + i);
   }
   return int(n);
 }
 
-// Batched: fill a (B, max_samples) row-major float32 buffer from B paths,
-// over a thread pool. lens/prev/srs receive per-row results (-1 = error).
-void lasr_load_wav_batch(const char** paths, const int* offsets, int B,
-                         float* out, int max_samples, int num_threads,
-                         int* lens, float* prevs, int* srs) {
+int lasr_load_wav(const char* path, float* out, int max_samples,
+                  int offset, float* prev_sample, int* sample_rate) {
+  return load_wav_impl(path, out, nullptr, max_samples, offset, prev_sample,
+                       sample_rate);
+}
+
+int lasr_load_wav_i16(const char* path, int16_t* out, int max_samples,
+                      int offset, float* prev_sample, int* sample_rate) {
+  return load_wav_impl(path, nullptr, out, max_samples, offset, prev_sample,
+                       sample_rate);
+}
+
+// Batched: fill a (B, max_samples) row-major float32 OR int16 buffer from B
+// paths over a thread pool. lens/prev/srs receive per-row results (-1 =
+// error). Exactly one of out_f32/out_i16 is non-null.
+static void load_wav_batch_impl(const char** paths, const int* offsets, int B,
+                                float* out_f32, int16_t* out_i16,
+                                int max_samples, int num_threads,
+                                int* lens, float* prevs, int* srs) {
   num_threads = std::max(1, num_threads);
   std::atomic_int next{0};
   auto worker = [&]() {
     for (;;) {
       int b = next.fetch_add(1);
       if (b >= B) return;
-      lens[b] = lasr_load_wav(paths[b], out + int64_t(b) * max_samples,
-                              max_samples, offsets ? offsets[b] : 0,
-                              prevs ? prevs + b : nullptr,
-                              srs ? srs + b : nullptr);
+      lens[b] = load_wav_impl(
+          paths[b],
+          out_f32 ? out_f32 + int64_t(b) * max_samples : nullptr,
+          out_i16 ? out_i16 + int64_t(b) * max_samples : nullptr,
+          max_samples, offsets ? offsets[b] : 0,
+          prevs ? prevs + b : nullptr, srs ? srs + b : nullptr);
     }
   };
   std::vector<std::thread> pool;
   for (int i = 0; i < num_threads; ++i) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
+}
+
+void lasr_load_wav_batch(const char** paths, const int* offsets, int B,
+                         float* out, int max_samples, int num_threads,
+                         int* lens, float* prevs, int* srs) {
+  load_wav_batch_impl(paths, offsets, B, out, nullptr, max_samples,
+                      num_threads, lens, prevs, srs);
+}
+
+void lasr_load_wav_batch_i16(const char** paths, const int* offsets, int B,
+                             int16_t* out, int max_samples, int num_threads,
+                             int* lens, float* prevs, int* srs) {
+  load_wav_batch_impl(paths, offsets, B, nullptr, out, max_samples,
+                      num_threads, lens, prevs, srs);
 }
 
 }  // extern "C"
