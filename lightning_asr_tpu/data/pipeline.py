@@ -236,9 +236,14 @@ class BucketBatcher:
                     f"{paths[int(np.argmax(bad_sr))]}: sample rate "
                     f"{int(srs[bad_sr][0])} != {self.sample_rate}")
             wave_lens = np.minimum(lens, req_lens).astype(np.int32)
-            # zero out anything past the requested crop length
+            # zero out anything past the requested crop length — with a
+            # dtype-preserving zero: `np.where(cond, int16_arr, 0.0)` promotes
+            # to float64 (weak-scalar rules), which then hit _assemble's
+            # float->int16 rescale and saturated every sample to +/-32767
+            # (audio reduced to its sign bit; caught by predict-vs-val parity)
             t_idx = np.arange(bucket)[None, :]
-            waves = np.where(t_idx < wave_lens[:, None], waves, 0.0)
+            waves = np.where(t_idx < wave_lens[:, None], waves,
+                             np.zeros((), waves.dtype))
             return waves, wave_lens, prevs
         except (ImportError, OSError, RuntimeError):
             pass

@@ -66,6 +66,45 @@ def test_train_drop_last_and_shuffle(corpus):
     assert n <= 7 and all(len(p) == 2 for p in order0)
 
 
+@pytest.mark.parametrize("wire_dtype", ["int16", "float32"])
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_wave_content_exact(corpus, wire_dtype, force_fallback, monkeypatch):
+    """Batch waves must be EXACTLY the file's PCM samples (regression: an
+    int16->float64 np.where promotion made _assemble re-scale by 32768 and
+    saturate every sample to +/-32767 — train/val stayed self-consistent so
+    only predict-vs-val parity caught it)."""
+    import wave as wave_mod
+
+    if force_fallback:
+        import lightning_asr_tpu.data.pipeline as pl
+
+        def _boom(*a, **k):
+            raise RuntimeError("forced fallback")
+
+        monkeypatch.setattr("lightning_asr_tpu.native.load_wav_batch", _boom)
+        assert pl  # fallback path goes through read_audio
+    entries = read_manifests(corpus, 16.7)
+    vocab = Vocabulary(LABELS)
+    batcher = BucketBatcher(entries, vocab, batch_size=2, train=False,
+                            bucket_seconds=(1.0, 2.0, 4.0), crop=False,
+                            wire_dtype=wire_dtype)
+    checked = 0
+    for b in batcher:
+        assert b.waves.dtype == (np.int16 if wire_dtype == "int16" else np.float32)
+        for i in range(len(b.paths)):
+            with wave_mod.open(b.paths[i]) as w:
+                pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            got = np.asarray(b.waves[i, : b.wave_lens[i]])
+            assert b.wave_lens[i] == len(pcm)
+            if wire_dtype == "int16":
+                np.testing.assert_array_equal(got, pcm)
+            else:
+                np.testing.assert_allclose(got, pcm.astype(np.float32) / 32768.0,
+                                           atol=1.0 / 32768.0)
+            checked += 1
+    assert checked == 8
+
+
 def test_crop_semantics():
     rng = np.random.default_rng(0)
     for _ in range(100):
