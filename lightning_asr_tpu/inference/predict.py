@@ -39,6 +39,34 @@ logger = logging.getLogger(__name__)
 _BUCKET_SECONDS = (2.0, 4.0, 8.0, 16.0, 24.0, 32.0, 40.0)
 
 
+def plan_chunks(n_samples: int, chunk: int, overlap: int) -> List[tuple]:
+    """Split [0, n_samples) into windows of `chunk` samples overlapping by
+    2*`overlap`, with non-overlapping keep-regions that tile the signal.
+
+    Returns [(start, keep_lo, keep_hi)] where keep_lo/keep_hi are relative
+    to `start`; the kept intervals [start+keep_lo, start+keep_hi) exactly
+    partition [0, n_samples).  Used by ``AsrTranslator.translate_long`` to
+    transcribe audio beyond the longest compiled bucket (the reference caps
+    utterances at its 40 s dev filter and has no long-audio path)."""
+    if chunk <= 2 * overlap:
+        raise ValueError(f"chunk ({chunk}) must exceed 2*overlap ({2 * overlap})")
+    if n_samples <= chunk:
+        return [(0, 0, n_samples)]
+    hop = chunk - 2 * overlap
+    plans = []
+    start = 0
+    while True:
+        if start + chunk >= n_samples:  # final window: right-aligned
+            final_start = max(n_samples - chunk, 0)
+            prev_keep_end = plans[-1][0] + plans[-1][2] if plans else 0
+            plans.append((final_start, prev_keep_end - final_start,
+                          n_samples - final_start))
+            return plans
+        keep_lo = overlap if start > 0 else 0
+        plans.append((start, keep_lo, chunk - overlap))
+        start += hop
+
+
 class AsrTranslator:
     """Checkpoint -> text transcription.
 
@@ -162,6 +190,64 @@ class AsrTranslator:
         out = self.transcribe_batch([samples[0]])[0]
         logger.info("load %.3fs  compute+decode %.3fs", t1 - t0, time.time() - t1)
         return out
+
+    def translate_long(
+        self,
+        audio: Union[str, Path, bytes, io.BytesIO],
+        chunk_seconds: float = 20.0,
+        overlap_seconds: float = 2.0,
+    ) -> str:
+        """Transcribe arbitrarily long audio by overlapped chunking.
+
+        The waveform is cut into fixed-size windows (one compiled graph,
+        reused for every window), each window's log-probs are trimmed to a
+        non-overlapping keep-region in frame space, the trimmed frames are
+        concatenated, and ONE greedy/beam pass decodes the stitched
+        sequence — so a character spanning a boundary collapses correctly.
+        Goes beyond the reference, which has no long-audio path (utterances
+        are capped by the 40 s dev filter)."""
+        if self.ssl_extractor is not None:
+            raise NotImplementedError("translate_long supports the mel path")
+        samples, sr = read_audio(audio, mono=True)
+        if sr != self.frontend.sample_rate:
+            raise ValueError(f"expected {self.frontend.sample_rate} Hz audio, got {sr}")
+        wave = samples[0]
+        chunk = int(chunk_seconds * sr)
+        overlap = int(overlap_seconds * sr)
+        plans = plan_chunks(wave.shape[0], chunk, overlap)
+        if len(plans) == 1:
+            return self.transcribe_batch([wave])[0]
+
+        # pad the row count to a power of two so files with different chunk
+        # counts reuse the same compiled graph
+        B = 1 << (len(plans) - 1).bit_length()
+        batch = np.zeros((B, chunk), np.float32)
+        lens = np.zeros(B, np.int32)
+        for i, (start, _, _) in enumerate(plans):
+            seg = wave[start : start + chunk]
+            batch[i, : seg.shape[0]] = seg
+            lens[i] = seg.shape[0]
+        for i in range(len(plans), B):  # benign rows (keep normalization finite)
+            batch[i] = batch[0]
+            lens[i] = lens[0]
+        log_probs, out_lens = self._jit_forward(jnp.asarray(batch), jnp.asarray(lens))
+        log_probs = np.asarray(log_probs)
+        out_lens = np.asarray(out_lens)
+
+        # sample -> output-frame conversion, from the model's own length math
+        pieces = []
+        for i, (start, keep_lo, keep_hi) in enumerate(plans):
+            frames = int(out_lens[i])
+            f_lo = int(round(keep_lo * frames / max(int(lens[i]), 1)))
+            f_hi = int(round(keep_hi * frames / max(int(lens[i]), 1)))
+            pieces.append(log_probs[i, f_lo : max(f_hi, f_lo)])
+        stitched = np.concatenate(pieces, axis=0)[None]
+        total = np.asarray([stitched.shape[1]], np.int32)
+        if self.beam_decoder is not None:
+            return self.beam_decoder.forward(stitched, total)[0]
+        preds = np.argmax(stitched, axis=-1)
+        return greedy_decode_to_strings(preds, total, self.vocab.labels,
+                                        self.vocab.blank_id)[0]
 
     # ------------------------------------------------------------------
     def evaluate_manifest(

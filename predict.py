@@ -21,7 +21,13 @@ def main() -> None:
     ap.add_argument("--audio", help="single wav to transcribe")
     ap.add_argument("--manifest", help="JSONL manifest to evaluate")
     ap.add_argument("--lang", default="en", choices=["en", "cn"])
-    ap.add_argument("--lm", help="ARPA LM path (enables beam search)")
+    ap.add_argument("--lm", help="ARPA LM path (enables host beam search)")
+    ap.add_argument("--device_beam", action="store_true",
+                    help="LM-free beam search on device instead of greedy")
+    ap.add_argument("--long", action="store_true",
+                    help="chunked transcription for long audio (> 40 s)")
+    ap.add_argument("--chunk_seconds", type=float, default=20.0)
+    ap.add_argument("--overlap_seconds", type=float, default=2.0)
     ap.add_argument("--beam_width", type=int, default=40)
     ap.add_argument("--alpha", type=float, default=1.0)
     ap.add_argument("--beta", type=float, default=1.0)
@@ -43,9 +49,19 @@ def main() -> None:
             alpha=args.alpha, beta=args.beta, lm_path=args.lm,
             num_cpus=args.num_cpus)
         translator.beam_decoder = beam_decoder
+    elif args.device_beam:
+        from lightning_asr_tpu.decoding import DeviceBeamSearchDecoder
+
+        translator.beam_decoder = DeviceBeamSearchDecoder(
+            translator.vocab.labels, beam_width=args.beam_width)
 
     if args.audio:
-        print(translator.translate(args.audio))
+        if args.long:
+            print(translator.translate_long(
+                args.audio, chunk_seconds=args.chunk_seconds,
+                overlap_seconds=args.overlap_seconds))
+        else:
+            print(translator.translate(args.audio))
     if args.manifest:
         result = translator.evaluate_manifest(
             args.manifest, batch_size=args.batch_size, csv_path=args.csv)

@@ -6,13 +6,17 @@ length-proportional SpecAugment — ``/root/reference/README.md:51-59``,
 ``conf/conf.yaml:18-37``).
 
 Unlike the overfit sanity (train==dev), this measures GENERALIZATION:
-  * 26-character tone alphabet + silence spaces;
-  * per-utterance "speaker" pitch scale U(0.85, 1.18) — dev utterances use
-    unseen pitch scales, so the model must learn relative, not absolute,
-    spectral positions;
-  * amplitude envelopes, per-char duration jitter, additive noise
-    (SNR ~ 12-25 dB), random utterance lengths 2-8 s;
-  * dev texts disjoint from train texts.
+  * 26-character FORMANT alphabet: each character is a harmonic source
+    (speaker-random f0) shaped by a char-specific two-formant envelope —
+    identity lives in spectral SHAPE, pitch is an orthogonal speaker
+    dimension.  (A pure-tone alphabet is degenerate under the recipe's
+    27-bin SpecAugment freq mask, which can erase whole character classes —
+    see scripts/sanity_overfit.py; formant characters survive it like real
+    speech does.)
+  * per-utterance f0 ~ U(95, 260) Hz train / U(85, 300) dev — dev speakers
+    extend OUTSIDE the train pitch range — plus 3% vibrato;
+  * amplitude envelopes, per-char duration jitter, additive noise,
+    random utterance lengths 2-8 s; dev texts disjoint from train texts.
 
 Writes CONVERGENCE.json (per-epoch val WER/loss curve + recipe) at the repo
 root.  Usage: python scripts/convergence_run.py [--utts 2000] [--epochs 24]
@@ -33,30 +37,43 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 SR = 16000
 CHARS = list("abcdefghijklmnopqrstuvwxyz")
 LABELS = [" "] + CHARS
-BASE_FREQS = {c: 220.0 * (2 ** (i / 9.0)) for i, c in enumerate(CHARS)}  # 220-1520 Hz
+# 26 distinct (F1, F2) formant pairs on a vowel-like grid; any two
+# characters differ in at least one formant by >=25% in center frequency
+_F1S = [350.0, 500.0, 700.0, 950.0, 1250.0]
+_F2S = [1600.0, 2050.0, 2600.0, 3300.0, 4200.0, 5300.0]
+FORMANTS = {c: (_F1S[i % 5], _F2S[(i // 5 + i % 5) % 6])
+            for i, c in enumerate(CHARS)}
 
 
-def synth(text: str, pitch: float, rng: np.random.Generator) -> np.ndarray:
+def synth(text: str, f0_base: float, rng: np.random.Generator) -> np.ndarray:
     segs = []
     for ch in text:
-        dur = float(rng.uniform(0.06, 0.1))
+        dur = float(rng.uniform(0.07, 0.11))
         n = int(SR * dur)
         t = np.arange(n) / SR
         if ch == " ":
             segs.append(np.zeros(n))
             continue
-        f = BASE_FREQS[ch] * pitch
-        env = np.minimum(1.0, np.minimum(t / 0.01, (dur - t) / 0.01).clip(min=0.0))
-        amp = float(rng.uniform(0.15, 0.4))
-        segs.append(amp * env * np.sin(2 * np.pi * f * t))
+        f1, f2 = FORMANTS[ch]
+        f0 = f0_base * (1.0 + 0.03 * np.sin(2 * np.pi * rng.uniform(3, 6) * t
+                                            + rng.uniform(0, 6.28)))
+        phase = 2 * np.pi * np.cumsum(f0) / SR
+        h = np.arange(1, int(7600.0 / f0_base) + 1)
+        hf = h * f0_base
+        amp = (np.exp(-((hf - f1) / 220.0) ** 2)
+               + 0.7 * np.exp(-((hf - f2) / 320.0) ** 2)
+               + 0.08 / h)  # source tilt so no harmonic is exactly zero
+        seg = (amp[None, :] * np.sin(phase[:, None] * h[None, :])).sum(axis=1)
+        seg /= max(np.abs(seg).max(), 1e-6)
+        env = np.minimum(1.0, np.minimum(t / 0.012, (dur - t) / 0.012).clip(min=0.0))
+        segs.append(float(rng.uniform(0.15, 0.4)) * env * seg)
     wave = np.concatenate(segs)
-    noise_amp = float(rng.uniform(0.005, 0.02))
-    wave = wave + noise_amp * rng.standard_normal(wave.shape)
+    wave = wave + float(rng.uniform(0.004, 0.015)) * rng.standard_normal(wave.shape)
     return wave.astype(np.float32)
 
 
-def make_split(root: Path, n_utts: int, seed: int, pitch_lo: float,
-               pitch_hi: float, name: str) -> Path:
+def make_split(root: Path, n_utts: int, seed: int, f0_lo: float,
+               f0_hi: float, name: str) -> Path:
     from lightning_asr_tpu.data.audio import write_wav
 
     rng = np.random.default_rng(seed)
@@ -66,8 +83,8 @@ def make_split(root: Path, n_utts: int, seed: int, pitch_lo: float,
         words = ["".join(rng.choice(CHARS, size=rng.integers(2, 6)))
                  for _ in range(n_words)]
         text = " ".join(words)
-        pitch = float(rng.uniform(pitch_lo, pitch_hi))
-        wave = synth(text, pitch, rng)
+        f0 = float(rng.uniform(f0_lo, f0_hi))
+        wave = synth(text, f0, rng)
         path = root / f"{name}{i:05d}.wav"
         write_wav(path, wave[None], SR)
         rows.append({"audio_filepath": str(path), "duration": len(wave) / SR,
@@ -104,9 +121,9 @@ def main() -> None:
     if not train_manifest.exists():
         root.mkdir(parents=True, exist_ok=True)
         t0 = time.monotonic()
-        # train pitches 0.85-1.12; dev extends to 1.18 (unseen speakers)
-        train_manifest = make_split(root, args.utts, 0, 0.85, 1.12, "train")
-        dev_manifest = make_split(root, args.dev_utts, 1, 0.9, 1.18, "dev")
+        # train f0 95-260 Hz; dev speakers extend outside that range
+        train_manifest = make_split(root, args.utts, 0, 95.0, 260.0, "train")
+        dev_manifest = make_split(root, args.dev_utts, 1, 85.0, 300.0, "dev")
         print(f"corpus built in {time.monotonic()-t0:.0f}s")
 
     dm = AsrDataModule(
@@ -145,7 +162,8 @@ def main() -> None:
     trainer.fit()
 
     report = {
-        "task": "synthetic 26-tone language, unseen dev speakers/texts",
+        "task": "synthetic 26-char formant language (two-formant characters, "
+                "speaker-random f0), dev speakers/texts unseen",
         "train_utts": args.utts, "dev_utts": args.dev_utts,
         "epochs": args.epochs, "batch_size": args.batch_size,
         "recipe": {"optimizer": "novograd", "betas": [0.8, 0.5], "lr": 1e-2,

@@ -110,3 +110,46 @@ def test_http_server_contract(checkpoint_dir, wav_path):
             assert resp.read().decode("utf-8") == expected
     finally:
         server.shutdown()
+
+
+def test_plan_chunks_tiles_exactly():
+    from lightning_asr_tpu.inference.predict import plan_chunks
+
+    for n, chunk, overlap in [(100, 120, 10), (1000, 300, 50), (1001, 300, 50),
+                              (301, 300, 50), (900, 300, 50), (10**6, 16000 * 20, 16000 * 2)]:
+        plans = plan_chunks(n, chunk, overlap)
+        covered = []
+        for start, keep_lo, keep_hi in plans:
+            assert 0 <= start and start + chunk >= start + keep_hi
+            assert 0 <= keep_lo <= keep_hi <= chunk
+            covered.append((start + keep_lo, start + keep_hi))
+        # keep-regions exactly partition [0, n)
+        assert covered[0][0] == 0 and covered[-1][1] == n
+        for (a0, a1), (b0, b1) in zip(covered, covered[1:]):
+            assert a1 == b0, (covered, n, chunk, overlap)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        plan_chunks(100, 20, 10)
+
+
+def test_translate_long(checkpoint_dir, tmp_path):
+    """Chunked path: short audio falls through to translate(); long audio
+    stitches chunks into one decode without recompiling per chunk-count."""
+    rng = np.random.default_rng(1)
+    short = tmp_path / "short.wav"
+    write_wav(short, (rng.standard_normal(16000) * 0.1).astype(np.float32)[None], 16000)
+    long = tmp_path / "long.wav"
+    write_wav(long, (rng.standard_normal(16000 * 11) * 0.1).astype(np.float32)[None], 16000)
+
+    tr = AsrTranslator(checkpoint_dir)
+    assert tr.translate_long(short, chunk_seconds=4.0, overlap_seconds=0.5) \
+        == tr.transcribe_batch([np.asarray(read_audio_short(short))])[0]
+    out = tr.translate_long(long, chunk_seconds=4.0, overlap_seconds=0.5)
+    assert isinstance(out, str)
+
+
+def read_audio_short(path):
+    from lightning_asr_tpu.data.audio import read_audio
+
+    return read_audio(path, mono=True)[0][0]
