@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.lstm import LSTMWeights, lstm
+from ..ops.sepconv_pallas import sepconv, sepconv_pallas_enabled
 
 
 def torch_uniform_init(fan_in: int):
@@ -92,6 +93,19 @@ class MaskedBatchNorm(nn.Module):
         return y
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv weight holder — creates ``params[<name>]['kernel']`` with
+    exactly nn.Conv's naming/shape, so the fused-sepconv path and the XLA
+    path share checkpoints interchangeably."""
+
+    shape: tuple
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_uniform_init(self.fan_in), self.shape)
+
+
 class SepConv(nn.Module):
     """Time-channel separable conv block (``QuartNetContext.py:8-54``)."""
 
@@ -113,26 +127,36 @@ class SepConv(nn.Module):
             pad = (self.dilation * self.k) // 2 - 1
         else:
             pad = self.k // 2
-        x = nn.Conv(
-            features=self.in_ch,
-            kernel_size=(self.k,),
-            strides=(self.stride,),
-            padding=((pad, pad),),
-            feature_group_count=self.in_ch,
-            kernel_dilation=(self.dilation,),
-            use_bias=False,
-            kernel_init=torch_uniform_init(self.k),  # depthwise fan_in = k
-            dtype=self.dtype,
-            name="depthwise_conv",
-        )(x)
-        x = nn.Conv(
-            features=self.out_ch,
-            kernel_size=(1,),
-            use_bias=False,
-            kernel_init=torch_uniform_init(self.in_ch),
-            dtype=self.dtype,
-            name="pointwise_conv",
-        )(x)
+        if (sepconv_pallas_enabled() and self.stride == 1
+                and self.dilation == 1 and self.k % 2 == 1):
+            # fused depthwise+pointwise Pallas kernel (same params layout)
+            wd = _ConvKernel((self.k, 1, self.in_ch), self.k,
+                             name="depthwise_conv")()
+            wp = _ConvKernel((1, self.in_ch, self.out_ch), self.in_ch,
+                             name="pointwise_conv")()
+            xin = x.astype(self.dtype) if self.dtype is not None else x
+            x = sepconv(xin, wd[:, 0, :], wp[0], None)
+        else:
+            x = nn.Conv(
+                features=self.in_ch,
+                kernel_size=(self.k,),
+                strides=(self.stride,),
+                padding=((pad, pad),),
+                feature_group_count=self.in_ch,
+                kernel_dilation=(self.dilation,),
+                use_bias=False,
+                kernel_init=torch_uniform_init(self.k),  # depthwise fan_in = k
+                dtype=self.dtype,
+                name="depthwise_conv",
+            )(x)
+            x = nn.Conv(
+                features=self.out_ch,
+                kernel_size=(1,),
+                use_bias=False,
+                kernel_init=torch_uniform_init(self.in_ch),
+                dtype=self.dtype,
+                name="pointwise_conv",
+            )(x)
         if self.mask:
             x = mask_by_percents(x, percents)
         x = MaskedBatchNorm(self.out_ch, name="bn")(x, train)

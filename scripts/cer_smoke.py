@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""CER-path smoke on real hardware: train on a synthetic "Mandarin-like"
+corpus whose transcripts are characters drawn from the SHIPPED
+``data/aishell1-vocab.txt`` (4,333 classes), with labels passed as a FILE
+PATH — which flips ``use_cer=True`` exactly like the reference
+(``/root/reference/train.py:216-219``) — then evaluate CER through the
+predict API.  Proves the Chinese/CER pipeline (file vocab -> 4,334-way
+decoder -> CER metric -> AsrTranslator) is runnable out of the box
+(VERDICT round-1 "ship aishell vocab + a smoke CER run").
+
+Usage: python scripts/cer_smoke.py [--utts 160] [--epochs 20] [--chars 40]
+Writes CER_SMOKE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SR = 16000
+
+
+def synth(text: str, char_freq: dict, rng: np.random.Generator) -> np.ndarray:
+    """Each character = a two-tone chord (distinct per char), 90 ms."""
+    segs = []
+    for ch in text:
+        n = int(SR * 0.09)
+        t = np.arange(n) / SR
+        f1, f2 = char_freq[ch]
+        env = np.minimum(1.0, np.minimum(t / 0.01, (0.09 - t) / 0.01).clip(min=0.0))
+        segs.append(0.3 * env * (np.sin(2 * np.pi * f1 * t)
+                                 + 0.6 * np.sin(2 * np.pi * f2 * t)))
+    wave = np.concatenate(segs).astype(np.float32)
+    return wave + 0.01 * rng.standard_normal(wave.shape).astype(np.float32)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--utts", type=int, default=160)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--chars", type=int, default=40,
+                    help="active character classes (decoder still spans the full vocab)")
+    ap.add_argument("--batch_size", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from lightning_asr_tpu.data import AsrDataModule
+    from lightning_asr_tpu.data.audio import write_wav
+    from lightning_asr_tpu.data.vocab import load_labels
+    from lightning_asr_tpu.models import build_model
+    from lightning_asr_tpu.ops.frontend import MelFrontendConfig
+    from lightning_asr_tpu.optim import cosine_annealing_warmup_restarts, novograd
+    from lightning_asr_tpu.training import Trainer
+    from lightning_asr_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    vocab_file = Path(__file__).resolve().parents[1] / "data" / "aishell1-vocab.txt"
+    labels, use_cer = load_labels(vocab_file)
+    assert use_cer, "file-based labels must flip CER mode"
+    print(f"vocab: {len(labels)} chars from {vocab_file.name}, use_cer={use_cer}")
+
+    rng = np.random.default_rng(0)
+    # use frequent vocab entries as the active alphabet (vocab is
+    # frequency-sorted by the prep script)
+    active = labels[: args.chars]
+    char_freq = {c: (320.0 + 55.0 * i, 1400.0 + 85.0 * ((i * 7) % args.chars))
+                 for i, c in enumerate(active)}
+
+    root = Path(tempfile.mkdtemp(prefix="cer_smoke_"))
+    rows = []
+    for i in range(args.utts):
+        text = "".join(rng.choice(active, size=int(rng.integers(6, 14))))
+        wave = synth(text, char_freq, rng)
+        path = root / f"utt{i}.wav"
+        write_wav(path, wave[None], SR)
+        rows.append({"audio_filepath": str(path), "duration": len(wave) / SR,
+                     "text": text})
+    manifest = root / "manifest.json"
+    with open(manifest, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    dm = AsrDataModule(
+        train_manifest=str(manifest), dev_manifest=str(manifest),
+        test_manifest=str(manifest), labels=str(vocab_file),
+        train_bs=args.batch_size, dev_bs=args.batch_size,
+        bucket_seconds=(2.0,), crop=False,
+    )
+    assert dm.vocab.use_cer and dm.vocab.num_classes == len(labels) + 1
+    model = build_model(num_classes=dm.vocab.num_classes, mask=True,
+                        dtype=jnp.bfloat16)
+    steps_per_epoch = dm.steps_per_epoch()
+    schedule = cosine_annealing_warmup_restarts(
+        first_cycle_steps=max(args.epochs * steps_per_epoch, 2), cycle_mult=1,
+        max_lr=5e-3, min_lr=1e-4, warmup_steps=min(100, steps_per_epoch * 2),
+        gamma=1.0)
+    opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
+    trainer = Trainer(
+        model, opt, dm, total_epochs=args.epochs,
+        check_val_every_n_epoch=max(args.epochs // 2, 1),
+        run_dir=root / "run", lr_schedule=schedule,
+        frontend=MelFrontendConfig(precision="default"), augment=False,
+        log_every_n_steps=50,
+        hparams={"labels": labels, "use_cer": True,
+                 "encoder": "quartznet12_context"},
+    )
+    state = trainer.fit()
+    metrics = trainer.validate(state)
+    print(json.dumps({"final_val_cer": metrics["val_wer"],
+                      "corpus_cer": metrics["val_wer_corpus"]}))
+
+    # CER through the offline inference surface (predict API, lang='cn')
+    from lightning_asr_tpu.inference import AsrTranslator
+
+    tr = AsrTranslator(root / "run" / "checkpoints" / "last")
+    assert tr.vocab.use_cer, "checkpoint hparams must carry use_cer"
+    result = tr.evaluate_manifest(manifest, batch_size=args.batch_size)
+    report = {
+        "vocab_file": str(vocab_file.name),
+        "vocab_size": len(labels),
+        "active_chars": args.chars,
+        "utts": args.utts,
+        "epochs": args.epochs,
+        "trainer_val_cer": metrics["val_wer_corpus"],
+        "predict_cer": result["cer"],
+        "n_utterances": result["n_utterances"],
+        "device": "TPU v5e (1 chip, tunneled)",
+    }
+    (Path(__file__).resolve().parents[1] / "CER_SMOKE.json").write_text(
+        json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report))
+    assert result["cer"] < 0.1, "CER smoke failed to learn"
+    print("CER SMOKE OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -144,12 +144,33 @@ def main() -> None:
 
     curve = []
 
+    def write_report() -> None:
+        report = {
+            "task": "synthetic 26-char formant language (two-formant "
+                    "characters, speaker-random f0), dev speakers/texts unseen",
+            "train_utts": args.utts, "dev_utts": args.dev_utts,
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "recipe": {"optimizer": "novograd", "betas": [0.8, 0.5],
+                       "lr": 1e-2, "weight_decay": 1e-3,
+                       "schedule": "cosine_warmup_restarts",
+                       "warmup": min(1000, first_cycle // 3), "min_lr": 1e-4,
+                       "cycle_mult": 2, "gamma": 0.5,
+                       "spec_augment": {"freq_mask": 27, "time_mask": 0.07}},
+            "curve": curve,
+            "final_val_wer": curve[-1]["val_wer"] if curve else None,
+            "best_val_wer": min((c["val_wer"] for c in curve), default=None),
+            "device": "TPU v5e (1 chip, tunneled)",
+        }
+        out = Path(__file__).resolve().parents[1] / "CONVERGENCE.json"
+        out.write_text(json.dumps(report, indent=2) + "\n")
+
     class CurveTrainer(Trainer):
         def on_validation_end(self, state, epoch, val_metrics):
             curve.append({"epoch": epoch, **{k: float(v) for k, v in val_metrics.items()},
                           "step": self.global_step})
             print(f"epoch {epoch}: val_wer={val_metrics['val_wer']:.4f} "
                   f"val_loss={val_metrics['val_loss']:.3f}", flush=True)
+            write_report()  # incremental: a partial run is still evidence
 
     trainer = CurveTrainer(
         model, opt, dm, total_epochs=args.epochs, run_dir=str(root / "run"),
@@ -161,23 +182,8 @@ def main() -> None:
     )
     trainer.fit()
 
-    report = {
-        "task": "synthetic 26-char formant language (two-formant characters, "
-                "speaker-random f0), dev speakers/texts unseen",
-        "train_utts": args.utts, "dev_utts": args.dev_utts,
-        "epochs": args.epochs, "batch_size": args.batch_size,
-        "recipe": {"optimizer": "novograd", "betas": [0.8, 0.5], "lr": 1e-2,
-                   "weight_decay": 1e-3, "schedule": "cosine_warmup_restarts",
-                   "warmup": min(1000, first_cycle // 3), "min_lr": 1e-4,
-                   "cycle_mult": 2, "gamma": 0.5,
-                   "spec_augment": {"freq_mask": 27, "time_mask": 0.07}},
-        "curve": curve,
-        "final_val_wer": curve[-1]["val_wer"] if curve else None,
-        "device": "TPU v5e (1 chip, tunneled)",
-    }
-    out = Path(__file__).resolve().parents[1] / "CONVERGENCE.json"
-    out.write_text(json.dumps(report, indent=2) + "\n")
-    print(json.dumps({"final_val_wer": report["final_val_wer"],
+    write_report()
+    print(json.dumps({"final_val_wer": curve[-1]["val_wer"] if curve else None,
                       "best_val_wer": min((c["val_wer"] for c in curve), default=None)}))
 
 
