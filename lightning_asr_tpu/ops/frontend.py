@@ -39,6 +39,7 @@ the NWC conv encoder that follows.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -85,6 +86,21 @@ class MelFrontendConfig:
             "high": lax.Precision.HIGH,        # 3-pass bf16 — ~1e-3 dB error
             "default": lax.Precision.DEFAULT,  # 1-pass bf16 — fastest
         }[self.precision]
+
+
+_FRONTEND_PALLAS = os.environ.get("LASR_FRONTEND_PALLAS", "0") == "1"
+
+
+def frontend_pallas_enabled() -> bool:
+    """Route preemph+extend through the fused Pallas kernel
+    (``ops/frontend_pallas.py``).  Default off; enable with
+    ``set_frontend_pallas(True)`` or LASR_FRONTEND_PALLAS=1."""
+    return _FRONTEND_PALLAS
+
+
+def set_frontend_pallas(on: bool) -> None:
+    global _FRONTEND_PALLAS
+    _FRONTEND_PALLAS = bool(on)
 
 
 def mel_num_frames(num_samples, cfg: MelFrontendConfig = MelFrontendConfig()):
@@ -238,9 +254,29 @@ def log_mel_spectrogram(
         waves = waves.astype(jnp.float32)
     if rng is not None and cfg.dither > 0:
         waves = waves + cfg.dither * jax.random.normal(rng, waves.shape, jnp.float32)
-    waves = _preemphasis(waves, prev_samples, cfg.preemph)
 
-    q = _extend_signal(waves, wave_lens, cfg)          # (B, S + 2*pad + n_fft)
+    # frame geometry from the TRUE extension length (the Pallas path may
+    # over-allocate q with zero fill, which must not add frames)
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    B = waves.shape[0]
+    S_ext = waves.shape[1] + 2 * cfg.pad + n_fft
+    T = (S_ext - n_fft) // hop + 1
+    n_chunks = -(-n_fft // hop)                        # 4 for 512/160
+    needed = (T + n_chunks) * hop
+
+    if frontend_pallas_enabled():
+        # fused preemph+extend Pallas kernel: one read of the waveforms, one
+        # write of the extended signal, DFT chunk padding included
+        from .frontend_pallas import extend_preemph
+
+        q = extend_preemph(waves, wave_lens, prev_samples, cfg,
+                           out_total=max(needed, S_ext + 128))
+    else:
+        waves = _preemphasis(waves, prev_samples, cfg.preemph)
+        q = _extend_signal(waves, wave_lens, cfg)      # (B, S + 2*pad + n_fft)
+        if needed > S_ext:
+            q = jnp.concatenate(
+                [q, jnp.zeros((B, needed - S_ext), q.dtype)], axis=1)
 
     # fp32 storage throughout; cfg.precision only selects the MXU pass count
     # ("default" = 1-pass bf16 multiplies).  An all-bf16-storage variant was
@@ -252,13 +288,6 @@ def log_mel_spectrogram(
     # natural (B,T,·) layout, no im2col and no NCH transposes (the
     # lax.conv_general_dilated formulation measured ~5 ms slower here).
     filters = jnp.asarray(dft_filters(cfg))            # (2F, n_fft)
-    hop, n_fft = cfg.hop_length, cfg.n_fft
-    B, S_ext = q.shape
-    T = (S_ext - n_fft) // hop + 1
-    n_chunks = -(-n_fft // hop)                        # 4 for 512/160
-    needed = (T + n_chunks) * hop
-    if needed > S_ext:
-        q = jnp.concatenate([q, jnp.zeros((B, needed - S_ext), q.dtype)], axis=1)
     qf = q[:, :needed].reshape(B, T + n_chunks, hop)
     spec = None
     for j in range(n_chunks):

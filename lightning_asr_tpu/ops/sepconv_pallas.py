@@ -24,6 +24,21 @@ dilation 1 (every block conv in the zoo; the stride-2 stem stays on XLA).
 
 Compute dtype: taps/matmuls run in the input dtype (bf16 under the training
 policy) with fp32 accumulators, like XLA's conv emitter.
+
+STATUS — measured and shelved (off by default).  On-chip A/B at
+(B=32, T=832, Cin=Cout=256, k=33) fwd+bwd:
+
+  * dynamic ``pltpu.roll`` taps: 7.06 ms (a rotate moves the whole array
+    per tap);
+  * static unrolled taps (current form): 1.33-1.34 ms (f32 and bf16 taps
+    measure the same);
+  * XLA's depthwise-conv + 1x1-dot pair: 0.92 ms.
+
+XLA's conv emitter wins; the kernel remains as correct, parity-gated
+(``scripts/pallas_parity.py``) opt-in infrastructure.  Mosaic constraints
+hit along the way, recorded for future kernels: dynamic sublane offsets
+must be provably 8-aligned (``pl.multiple_of``); ``tpu.dynamic_rotate``
+supports only 32-bit element types and 8-aligned sublane extents.
 """
 
 from __future__ import annotations
@@ -63,13 +78,24 @@ def set_sepconv_pallas(on: bool) -> None:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(xp_ref, wd_ref, wp_ref, out_ref, *, k: int, T: int):
-    """One batch row: depthwise (VPU) -> pointwise (MXU)."""
-    acc = jnp.zeros((T, xp_ref.shape[-1]), jnp.float32)
+    """One batch row: depthwise (VPU) -> pointwise (MXU).
 
-    def tap(j, acc):
-        return acc + (xp_ref[0, pl.ds(j, T), :] * wd_ref[j, :]).astype(jnp.float32)
-
-    acc = lax.fori_loop(0, k, tap, acc)
+    Mosaic only allows dynamic sublane offsets that are provably 8-aligned,
+    so tap j's shifted window is expressed as a dynamic rotation
+    (``pltpu.roll``) followed by a static [:T] slice instead of
+    ``pl.ds(j, T)``; likewise the per-tap weight row rotates to row 0.
+    j ≤ 2·(k//2) < T+2·(k//2), so the rotation never wraps into [:T]."""
+    # Mosaic cannot lower dynamic unaligned sublane offsets, and dynamic
+    # rotations (pltpu.roll) move the whole array per tap (measured 7x
+    # slower than XLA's conv).  Static unrolled taps lower to vreg-shifted
+    # FMAs instead.
+    x = xp_ref[0]                                     # (T+2P, Cin) in x.dtype
+    wd = wd_ref[...]                                  # (kpad, Cin)
+    acc = jnp.zeros((T, x.shape[-1]), jnp.float32)
+    for j in range(k):                                # static taps
+        # bf16 shifted slices halve the vreg-shift traffic; products are
+        # accumulated in fp32
+        acc = acc + (x[j : j + T] * wd[j : j + 1]).astype(jnp.float32)
     dw = acc.astype(wp_ref.dtype)
     y = jnp.dot(dw, wp_ref[...], preferred_element_type=jnp.float32)
     out_ref[0, :, :] = y.astype(out_ref.dtype)
@@ -83,26 +109,35 @@ def sepconv(x: jnp.ndarray, wd: jnp.ndarray, wp: jnp.ndarray,
     return _sepconv_fwd_impl(x, wd, wp, interpret)
 
 
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
 def _sepconv_fwd_impl(x, wd, wp, interpret):
     B, T, Cin = x.shape
     k = wd.shape[0]
     Cout = wp.shape[1]
     P = k // 2
+    kpad = _round8(k)
     if interpret is None:
         interpret = _interpret_default()
-    xp = jnp.pad(x, ((0, 0), (P, P), (0, 0)))
+    # tpu.dynamic_rotate requires 8-aligned sublane extents — pad the time
+    # window and the tap table; padded rows are never read by the [:T] views
+    Tp2 = _round8(T + 2 * P)
+    xp = jnp.pad(x, ((0, 0), (P, Tp2 - T - P), (0, 0)))
+    wdp = jnp.pad(wd, ((0, kpad - k), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, T=T),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, T + 2 * P, Cin), lambda b: (b, 0, 0)),
-            pl.BlockSpec((k, Cin), lambda b: (0, 0)),
+            pl.BlockSpec((1, Tp2, Cin), lambda b: (b, 0, 0)),
+            pl.BlockSpec((kpad, Cin), lambda b: (0, 0)),
             pl.BlockSpec((Cin, Cout), lambda b: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, T, Cout), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T, Cout), x.dtype),
         interpret=interpret,
-    )(xp, wd.astype(x.dtype), wp.astype(x.dtype))
+    )(xp, wdp.astype(x.dtype), wp.astype(x.dtype))
     return out
 
 
@@ -111,10 +146,15 @@ def _sepconv_fwd_impl(x, wd, wp, interpret):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(xp_ref, dy_ref, wd_ref, wp_ref,
-                dx_ref, dwd_ref, dwp_ref, dzp_ref, *, k: int, T: int):
+                dx_ref, dwd_ref, dwp_ref, dzp_ref,
+                *, k: int, T: int, kpad: int):
+    """Static unrolled taps throughout (see ``_fwd_kernel``); weight grads
+    accumulate in VMEM output tiles across the sequential batch grid."""
     b = pl.program_id(0)
     Cin = xp_ref.shape[-1]
     P = k // 2
+    x = xp_ref[0].astype(jnp.float32)                 # (Tp2, Cin)
+    wd = wd_ref[...].astype(jnp.float32)              # (kpad, Cin)
 
     # dz = dy @ wp^T  (contract Cout)  -> (T, Cin) fp32
     dz = lax.dot_general(
@@ -122,16 +162,17 @@ def _bwd_kernel(xp_ref, dy_ref, wd_ref, wp_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    # zero-padded dz for the correlation producing dx
-    dzp_ref[pl.ds(0, P), :] = jnp.zeros((P, Cin), jnp.float32)
-    dzp_ref[pl.ds(P, T), :] = dz
-    dzp_ref[pl.ds(P + T, P), :] = jnp.zeros((P, Cin), jnp.float32)
+    # zero-padded dz for the correlation producing dx (static offsets)
+    Tp2 = dzp_ref.shape[0]
+    dzp_ref[0:P, :] = jnp.zeros((P, Cin), jnp.float32)
+    dzp_ref[P : P + T, :] = dz
+    dzp_ref[P + T : Tp2, :] = jnp.zeros((Tp2 - P - T, Cin), jnp.float32)
+    dzp = dzp_ref[...]
 
-    def dx_tap(j, acc):
-        # dx[t] = sum_j dz_pad[t + j] * wd[k-1-j]  (flipped taps)
-        return acc + dzp_ref[pl.ds(j, T), :] * wd_ref[k - 1 - j, :].astype(jnp.float32)
-
-    dx = lax.fori_loop(0, k, dx_tap, jnp.zeros((T, Cin), jnp.float32))
+    # dx[t] = sum_j dz_pad[t + j] * wd[k-1-j]  (flipped taps)
+    dx = jnp.zeros((T, Cin), jnp.float32)
+    for j in range(k):
+        dx = dx + dzp[j : j + T] * wd[k - 1 - j : k - j]
     dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
 
     # weight grads: accumulate across the sequential batch grid
@@ -140,19 +181,17 @@ def _bwd_kernel(xp_ref, dy_ref, wd_ref, wp_ref,
         dwd_ref[...] = jnp.zeros_like(dwd_ref)
         dwp_ref[...] = jnp.zeros_like(dwp_ref)
 
-    def wd_tap(j, _):
-        # wd_grad[j] = sum_t x_pad[t + j] * dz[t]
-        g = jnp.sum(xp_ref[0, pl.ds(j, T), :].astype(jnp.float32) * dz, axis=0,
-                    keepdims=True)
-        dwd_ref[pl.ds(j, 1), :] += g
-        return 0
+    # wd_grad[j] = sum_t x_pad[t + j] * dz[t]; rebuild the depthwise output
+    # dw for wp_grad from the same shifted windows
+    rows = []
+    dw = jnp.zeros((T, Cin), jnp.float32)
+    for j in range(k):
+        xs = x[j : j + T]
+        rows.append(jnp.sum(xs * dz, axis=0, keepdims=True))
+        dw = dw + xs * wd[j : j + 1]
+    rows.extend([jnp.zeros((1, Cin), jnp.float32)] * (kpad - k))
+    dwd_ref[...] += jnp.concatenate(rows, axis=0)
 
-    lax.fori_loop(0, k, wd_tap, 0)
-
-    def dw_tap(j, acc):
-        return acc + (xp_ref[0, pl.ds(j, T), :] * wd_ref[j, :]).astype(jnp.float32)
-
-    dw = lax.fori_loop(0, k, dw_tap, jnp.zeros((T, Cin), jnp.float32))
     # wp_grad = dw^T @ dy  (contract T) -> (Cin, Cout)
     dwp_ref[...] += lax.dot_general(
         dw.astype(dy_ref.dtype), dy_ref[0, :, :],
@@ -170,32 +209,35 @@ def _sepconv_vjp_bwd(interpret, res, dy):
     k = wd.shape[0]
     Cout = wp.shape[1]
     P = k // 2
+    kpad = _round8(k)
+    Tp2 = _round8(T + 2 * P)
     if interpret is None:
         interpret = _interpret_default()
-    xp = jnp.pad(x, ((0, 0), (P, P), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (P, Tp2 - T - P), (0, 0)))
+    wdp = jnp.pad(wd, ((0, kpad - k), (0, 0)))
     dx, dwd, dwp = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, T=T),
+        functools.partial(_bwd_kernel, k=k, T=T, kpad=kpad),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, T + 2 * P, Cin), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Tp2, Cin), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, T, Cout), lambda b: (b, 0, 0)),
-            pl.BlockSpec((k, Cin), lambda b: (0, 0)),
+            pl.BlockSpec((kpad, Cin), lambda b: (0, 0)),
             pl.BlockSpec((Cin, Cout), lambda b: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, T, Cin), lambda b: (b, 0, 0)),
-            pl.BlockSpec((k, Cin), lambda b: (0, 0)),
+            pl.BlockSpec((kpad, Cin), lambda b: (0, 0)),
             pl.BlockSpec((Cin, Cout), lambda b: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, Cin), x.dtype),
-            jax.ShapeDtypeStruct((k, Cin), jnp.float32),
+            jax.ShapeDtypeStruct((kpad, Cin), jnp.float32),
             jax.ShapeDtypeStruct((Cin, Cout), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((T + 2 * P, Cin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Tp2, Cin), jnp.float32)],
         interpret=interpret,
-    )(xp, dy, wd.astype(x.dtype), wp.astype(x.dtype))
-    return dx, dwd.astype(wd.dtype), dwp.astype(wp.dtype)
+    )(xp, dy, wdp.astype(x.dtype), wp.astype(x.dtype))
+    return dx, dwd[:k].astype(wd.dtype), dwp.astype(wp.dtype)
 
 
 sepconv.defvjp(_sepconv_vjp_fwd, _sepconv_vjp_bwd)

@@ -132,13 +132,75 @@ def check_lstm(rng: np.random.Generator) -> list[dict]:
     return results
 
 
+def check_sepconv(rng: np.random.Generator) -> list[dict]:
+    """Fused separable conv (``ops/sepconv_pallas.py``) vs the XLA
+    composition, fwd + all three grads, at flagship block configs."""
+    sep = importlib.import_module("lightning_asr_tpu.ops.sepconv_pallas")
+    results = []
+    for B, T, Cin, Cout, k in [(4, 256, 256, 256, 33), (2, 256, 336, 512, 51),
+                               (2, 128, 512, 1024, 87)]:
+        x = jnp.asarray(rng.standard_normal((B, T, Cin)).astype(np.float32) * 0.3)
+        wd = jnp.asarray(rng.standard_normal((k, Cin)).astype(np.float32) * 0.1)
+        wp = jnp.asarray(rng.standard_normal((Cin, Cout)).astype(np.float32) * 0.05)
+
+        def run(fn):
+            # pin every dot/conv on both sides to 6-pass fp32 so the check
+            # compares kernel MATH, not XLA-vs-Mosaic default matmul
+            # decompositions (bf16-pass count differs otherwise)
+            with jax.default_matmul_precision("highest"):
+                def scalar(x_, wd_, wp_):
+                    y = fn(x_, wd_, wp_)
+                    return jnp.sum(y * y)
+                y = fn(x, wd, wp)
+                gx, gwd, gwp = jax.grad(scalar, argnums=(0, 1, 2))(x, wd, wp)
+                return jax.jit(lambda: (y, gx, gwd, gwp))()
+
+        y_r, gx_r, gwd_r, gwp_r = run(sep.sepconv_reference)
+        y_p, gx_p, gwd_p, gwp_p = run(lambda a, b, c: sep.sepconv(a, b, c, None))
+        fwd_abs, _ = _err(y_r, y_p)
+        g_abs = max(_err(gx_r, gx_p)[0], _err(gwd_r, gwd_p)[0] / max(float(jnp.abs(gwd_r).max()), 1.0),
+                    _err(gwp_r, gwp_p)[0] / max(float(jnp.abs(gwp_r).max()), 1.0))
+        results.append({
+            "op": "sepconv", "shape": [B, T, Cin, Cout, k],
+            "fwd_abs_err": fwd_abs, "grad_rel_err": g_abs,
+            "ok": bool(fwd_abs < 1e-3 and g_abs < 1e-3),
+        })
+    return results
+
+
+def check_frontend_extend(rng: np.random.Generator) -> list[dict]:
+    """Fused preemph+extend (``ops/frontend_pallas.py``) vs the XLA
+    composition; exercises the dynamic-offset tail read-modify-write."""
+    from lightning_asr_tpu.ops.frontend import (
+        MelFrontendConfig, _extend_signal, _preemphasis)
+    from lightning_asr_tpu.ops.frontend_pallas import extend_preemph
+
+    results = []
+    cfg = MelFrontendConfig()
+    B, S = 8, 56000
+    waves = jnp.asarray((rng.standard_normal((B, S)) * 0.1).astype(np.float32))
+    lens = jnp.asarray(
+        np.r_[S, rng.integers(cfg.n_fft, S, size=B - 1)].astype(np.int32))
+    want = _extend_signal(_preemphasis(waves, None, cfg.preemph), lens, cfg)
+    got = extend_preemph(waves, lens, None, cfg)
+    abs_err, _ = _err(want, got[:, : want.shape[1]])
+    tail_zero = float(jnp.abs(got[:, want.shape[1]:]).max())
+    results.append({
+        "op": "frontend_extend", "shape": [B, S],
+        "fwd_abs_err": abs_err, "surplus_max": tail_zero,
+        "ok": bool(abs_err < 1e-5 and tail_zero == 0.0),
+    })
+    return results
+
+
 def main() -> int:
     enable_compile_cache()
     backend = jax.default_backend()
     interpreted = backend == "cpu"
     rng = np.random.default_rng(0)
 
-    results = check_ctc(rng) + check_lstm(rng)
+    results = (check_ctc(rng) + check_lstm(rng) + check_sepconv(rng)
+               + check_frontend_extend(rng))
     ok = all(r["ok"] for r in results) and not interpreted
     report = {
         "backend": backend,
