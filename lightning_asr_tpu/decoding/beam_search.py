@@ -38,7 +38,13 @@ class BeamSearchDecoderWithLM:
         num_cpus: int = 4,
         cutoff_prob: float = 0.99,
         cutoff_top_n: int = 40,
+        hotwords: Optional[dict] = None,
     ):
+        """``hotwords`` maps word -> additive log-score boost (contextual
+        biasing, beyond the reference): partial trie matches earn
+        boost/len(word) per char and are retracted on mismatch; a completed
+        word locks in exactly its boost.  Words are tokenized greedily by
+        longest-matching vocab symbol (multi-byte symbols supported)."""
         self.vocab = list(vocab)
         self.num_cpus = max(1, num_cpus)
         self._lib = get_lib()
@@ -57,6 +63,36 @@ class BeamSearchDecoderWithLM:
         self._decoder = self._lib.lasr_decoder_create(
             c_vocab, len(self.vocab), beam_width, alpha, beta,
             cutoff_prob, cutoff_top_n, self._lm)
+        for word, boost in (hotwords or {}).items():
+            self.add_hotword(word, float(boost))
+
+    def _tokenize(self, word: str) -> List[int]:
+        """Greedy longest-match split of ``word`` into vocab symbol ids."""
+        by_len = sorted({len(v) for v in self.vocab if v}, reverse=True)
+        sym = {v: i for i, v in enumerate(self.vocab)}
+        ids: List[int] = []
+        pos = 0
+        while pos < len(word):
+            for n in by_len:
+                cand = word[pos : pos + n]
+                if cand in sym:
+                    ids.append(sym[cand])
+                    pos += n
+                    break
+            else:
+                raise ValueError(
+                    f"hotword {word!r}: no vocab symbol matches at {pos} ({word[pos:]!r})")
+        return ids
+
+    def add_hotword(self, word: str, boost: float) -> None:
+        """Register a hot word with an additive log-score ``boost``."""
+        if not hasattr(self._lib, "lasr_decoder_add_hotword"):
+            raise RuntimeError("native library predates hotword support — "
+                               "delete native/build/ to rebuild")
+        ids = self._tokenize(word)
+        arr = (ctypes.c_int * len(ids))(*ids)
+        self._lib.lasr_decoder_add_hotword(self._decoder, arr, len(ids),
+                                           ctypes.c_float(boost))
 
     def forward(self, log_probs: np.ndarray, log_probs_length) -> List[str]:
         """(B, T, V+1) log-softmax outputs + per-sample lengths -> texts."""

@@ -66,6 +66,11 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_void_p,
     ]
     lib.lasr_decoder_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "lasr_decoder_add_hotword"):  # rebuilt lib
+        lib.lasr_decoder_add_hotword.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_float,
+        ]
     lib.lasr_decode.restype = ctypes.c_int
     lib.lasr_decode.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,

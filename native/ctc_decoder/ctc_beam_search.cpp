@@ -172,8 +172,42 @@ struct Prefix {
   float p_nb = kNegInf;     // prob of paths ending in the last char
   float lm_score = 0.0f;    // accumulated alpha*lnP + beta bonuses
   std::vector<int> words;   // completed LM word ids (history)
+  int hot_node = 0;         // hotword-trie state (0 = root)
+  float hot_accum = 0.0f;   // boost granted for the current partial match
 
   float total() const { return log_sum_exp(p_b, p_nb) + lm_score; }
+};
+
+// Character trie over vocab ids for hot-word (contextual-biasing) boosting.
+// Shallow fusion: while a beam's trailing partial word tracks a hotword
+// prefix it earns boost/len per matched char; falling off the trie (or
+// hitting a word boundary mid-match) retracts the partial boost; reaching
+// a terminal locks in exactly that word's full boost.
+struct HotwordTrie {
+  struct Node {
+    std::unordered_map<int, int> next;  // vocab id -> node index
+    float per_char = 0.0f;              // max boost/len through this node
+    float terminal_boost = kNegInf;     // full boost if a hotword ends here
+  };
+  std::vector<Node> nodes{1};  // [0] = root
+
+  void Add(const std::vector<int>& ids, float boost) {
+    if (ids.empty()) return;
+    float per_char = boost / static_cast<float>(ids.size());
+    int cur = 0;
+    for (int id : ids) {
+      auto it = nodes[cur].next.find(id);
+      if (it == nodes[cur].next.end()) {
+        nodes.push_back(Node{});
+        it = nodes[cur].next.emplace(id, static_cast<int>(nodes.size()) - 1).first;
+      }
+      cur = it->second;
+      nodes[cur].per_char = std::max(nodes[cur].per_char, per_char);
+    }
+    nodes[cur].terminal_boost = std::max(nodes[cur].terminal_boost, boost);
+  }
+
+  bool empty() const { return nodes.size() == 1; }
 };
 
 struct PrefixHash {
@@ -225,6 +259,8 @@ class Decoder {
           p.chars = chars;
           p.lm_score = base.lm_score;
           p.words = base.words;
+          p.hot_node = base.hot_node;
+          p.hot_accum = base.hot_accum;
           it = next.emplace(chars, std::move(p)).first;
         }
         return it->second;
@@ -249,13 +285,13 @@ class Decoder {
             std::vector<int> ext = pre.chars;
             ext.push_back(c);
             Prefix& nx = upsert(pre, ext);
-            ApplyExtension(pre, nx, c);
+            ExtendScores(pre, nx, c);
             nx.p_nb = log_sum_exp(nx.p_nb, pre.p_b + p);
           } else {
             std::vector<int> ext = pre.chars;
             ext.push_back(c);
             Prefix& nx = upsert(pre, ext);
-            ApplyExtension(pre, nx, c);
+            ExtendScores(pre, nx, c);
             nx.p_nb = log_sum_exp(nx.p_nb, p_total + p);
           }
         }
@@ -281,13 +317,78 @@ class Decoder {
         std::string word = TrailingWord(beams[i].chars);
         if (!word.empty()) s += WordBonus(beams[i].words, word);
       }
+      s -= beams[i].hot_accum;  // retract an incomplete hotword match
       if (s > best_score) { best_score = s; best = &beams[i]; }
     }
     if (!best) return {};
     return best->chars;
   }
 
+ public:
+  void AddHotword(const std::vector<int>& ids, float boost) { hot_.Add(ids, boost); }
+
  private:
+  // Extension scoring entry point: resets nx's score-state from `pre` so
+  // the result is a pure function of (pre.chars, c) — an upsert may have
+  // base-copied fields from a different (carried-forward) beam with the
+  // same chars, and ApplyHotword's relative update must not stack on them.
+  void ExtendScores(const Prefix& pre, Prefix& nx, int c) const {
+    nx.lm_score = pre.lm_score;
+    nx.words = pre.words;
+    nx.hot_node = pre.hot_node;
+    nx.hot_accum = pre.hot_accum;
+    ApplyExtension(pre, nx, c);
+    ApplyHotword(pre, nx, c);
+  }
+
+  // Hot-word biasing on appending char `c`: advance/retract the trie match.
+  // Must run AFTER ApplyExtension (which overwrites nx.lm_score).  All
+  // updates are deterministic functions of (pre, c), so re-applying on an
+  // upsert-merged prefix writes the same values.
+  void ApplyHotword(const Prefix& pre, Prefix& nx, int c) const {
+    if (hot_.empty()) return;
+    int node = pre.hot_node;
+    float accum = pre.hot_accum;
+    float delta = 0.0f;
+    const bool word_level = (space_id_ >= 0);
+
+    auto advance = [&](int from, int ch) -> bool {
+      auto it = hot_.nodes[from].next.find(ch);
+      if (it == hot_.nodes[from].next.end()) return false;
+      node = it->second;
+      float b = hot_.nodes[node].per_char;
+      delta += b;
+      accum += b;
+      if (hot_.nodes[node].terminal_boost > kNegInf) {
+        // completed hotword: lock in exactly its boost (longer hotwords
+        // sharing this prefix keep matching; nested completions stack)
+        delta += hot_.nodes[node].terminal_boost - accum;
+        accum = 0.0f;
+      }
+      return true;
+    };
+
+    if (word_level && c == space_id_) {
+      delta -= accum;  // word ended mid-match: retract the partial boost
+      accum = 0.0f;
+      node = 0;
+    } else if (node >= 0 && advance(node, c)) {
+      // matched — state already updated
+    } else {
+      delta -= accum;  // fell off the trie: retract
+      accum = 0.0f;
+      if (word_level) {
+        node = -1;  // matches must start at word boundaries
+      } else {
+        node = 0;   // char-level (no space symbol): try restarting at c
+        advance(0, c);
+      }
+    }
+    nx.lm_score += delta;
+    nx.hot_node = node;
+    nx.hot_accum = accum;
+  }
+
   // LM hook on appending char `c` to prefix `pre`, updating `nx` in place.
   void ApplyExtension(const Prefix& pre, Prefix& nx, int c) const {
     if (!lm_ || !lm_->loaded()) return;
@@ -336,6 +437,7 @@ class Decoder {
   ArpaLM* lm_;
   int space_id_;
   bool char_level_lm_;
+  HotwordTrie hot_;
 };
 
 }  // namespace
@@ -383,6 +485,13 @@ void* lasr_decoder_create(const char** vocab, int vocab_size, int beam_size,
 }
 
 void lasr_decoder_free(void* d) { delete static_cast<Decoder*>(d); }
+
+// Register a hot word for contextual biasing: `ids` are vocab label ids
+// (length n), boost is the total additive log-score granted when the word
+// completes (partial matches earn boost/n per char, retracted on mismatch).
+void lasr_decoder_add_hotword(void* d, const int* ids, int n, float boost) {
+  static_cast<Decoder*>(d)->AddHotword(std::vector<int>(ids, ids + n), boost);
+}
 
 // Decode one utterance. Returns emitted length; out_ids must hold >= T ints.
 int lasr_decode(void* d, const float* log_probs, int T, int C, int* out_ids) {

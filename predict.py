@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--beta", type=float, default=1.0)
     ap.add_argument("--num_cpus", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--hotword", action="append", default=[],
+                    metavar="WORD[:BOOST]",
+                    help="bias decoding toward WORD (repeatable; default "
+                         "boost 4.0; needs --lm or enables host beam search)")
     ap.add_argument("--csv", help="per-utterance WER/confidence CSV output")
     ap.add_argument("--confidence", action="store_true",
                     help="also report CTC confidence scores")
@@ -41,13 +45,17 @@ def main() -> None:
     beam_decoder = None
     translator = AsrTranslator(args.model, lang=args.lang,
                                return_confidence=args.confidence)
-    if args.lm:
+    hotwords = {}
+    for spec in args.hotword:
+        word, _, boost = spec.partition(":")
+        hotwords[word] = float(boost) if boost else 4.0
+    if args.lm or hotwords:
         from lightning_asr_tpu.decoding.beam_search import BeamSearchDecoderWithLM
 
         beam_decoder = BeamSearchDecoderWithLM(
             translator.vocab.labels, beam_width=args.beam_width,
-            alpha=args.alpha, beta=args.beta, lm_path=args.lm,
-            num_cpus=args.num_cpus)
+            alpha=args.alpha, beta=args.beta, lm_path=args.lm or None,
+            num_cpus=args.num_cpus, hotwords=hotwords)
         translator.beam_decoder = beam_decoder
     elif args.device_beam:
         from lightning_asr_tpu.decoding import DeviceBeamSearchDecoder
