@@ -67,4 +67,10 @@ class SSLTrainer(Trainer):
         self.loggers.log_metrics(
             {"pseudo_kept": len(kept), "pseudo_total": total}, int(state.step))
         if kept:
-            self.dm.inject_pseudo_datasets(kept)
+            # carry durations from the unlabeled manifest — offline-feature
+            # corpora have no wav on disk for inject's duration fallback to
+            # probe (and probing would be wasted host IO regardless)
+            durs = {e.audio_filepath: e.duration
+                    for e in self.dm.unlabeled_entries}
+            self.dm.inject_pseudo_datasets(
+                [(p, t, durs[p]) if p in durs else (p, t) for p, t in kept])
