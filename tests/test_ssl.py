@@ -108,3 +108,64 @@ def test_ssl_datamodule_pseudo_loader(ssl_corpus):
     # re-injection replaces, not accumulates
     dm.inject_pseudo_datasets([])
     assert len(dm.pseudo_entries) == 0
+
+
+def test_pseudo_pass_carries_manifest_durations(ssl_corpus, monkeypatch):
+    """The pseudo-labeling pass must inject (path, text, duration) triples
+    sourced from the unlabeled manifest — feature-only corpora have no wav
+    on disk for inject_pseudo_datasets' duration-probing fallback."""
+    import jax.numpy as jnp
+
+    from lightning_asr_tpu.training.ssl_trainer import SSLTrainer
+
+    manifest, feat_dir = ssl_corpus
+    labels = [" ", "a", "c", "d", "g", "o", "t"]
+    dm = SSLDataModule(
+        train_manifest=str(manifest), dev_manifest=str(manifest),
+        labels=labels, train_bs=5, dev_bs=5, ssl_folder=str(feat_dir),
+        pseudo_manifest=str(manifest), bucket_seconds=(4.0,),
+    )
+    vocab = dm.vocab
+
+    trainer = SSLTrainer.__new__(SSLTrainer)
+    trainer.dm = dm
+    trainer.vocab = vocab
+    trainer.pseudo_start_epoch = 0
+    trainer.pseudo_every_n_epochs = 1
+    trainer.pseudo_confidence_threshold = 100.0  # accept everything
+
+    class _Loggers:
+        def log_metrics(self, *a, **k):
+            pass
+
+    trainer.loggers = _Loggers()
+    trainer._device_batch = lambda b: b
+
+    def fake_eval_step(state, batch):
+        B = batch.waves.shape[0]
+        T = 8
+        # decode "cat" for every utterance: c-a-t then blanks, confident
+        preds = np.full((B, T), vocab.blank_id, np.int32)
+        preds[:, 0] = labels.index("c")
+        preds[:, 1] = labels.index("a")
+        preds[:, 2] = labels.index("t")
+        lp = np.full((B, T, len(labels) + 1), -10.0, np.float32)
+        for t in range(T):
+            for b in range(B):
+                lp[b, t, preds[b, t]] = -0.01
+        return {"preds": jnp.asarray(preds),
+                "pred_lens": jnp.full((B,), T, jnp.int32),
+                "log_probs": jnp.asarray(lp)}
+
+    trainer._eval_step = fake_eval_step
+
+    class _FakeStep:
+        step = 0
+
+    trainer.on_train_epoch_end(_FakeStep(), epoch=2)
+    assert len(dm.pseudo_entries) == len(dm.unlabeled_entries)
+    durs = {e.audio_filepath: e.duration for e in dm.unlabeled_entries}
+    for e in dm.pseudo_entries:
+        # duration came from the manifest, NOT from probing the (absent) wav
+        assert e.duration == pytest.approx(durs[e.audio_filepath])
+        assert e.text == "cat"
