@@ -88,7 +88,7 @@ class AsrTranslator:
         labels: Optional[Sequence[str]] = None,
         lang: str = "en",
         beam_decoder=None,
-        frontend: MelFrontendConfig = MelFrontendConfig(dither=0.0),
+        frontend: Optional[MelFrontendConfig] = None,
         return_confidence: bool = False,
     ):
         t0 = time.time()
@@ -100,10 +100,21 @@ class AsrTranslator:
         if labels is None:
             labels = hparams.get("labels") or self.EN_LABELS
         self.vocab = Vocabulary(list(labels), bool(hparams.get("use_cer", lang == "cn")))
+        if frontend is None:
+            # Rebuild the TRAINING frontend from the checkpoint (precision
+            # tier included) so inference features match the distribution the
+            # model's BN stats were calibrated on; the eval path passes
+            # rng=None so the stored dither never fires.  Old checkpoints
+            # without the hparam fall back to the fp32 default.
+            fd = hparams.get("frontend")
+            frontend = MelFrontendConfig.from_dict(fd) if fd else MelFrontendConfig(dither=0.0)
         self.frontend = frontend
+        self.normalize = bool(hparams.get("normalize", True))
         self.beam_decoder = beam_decoder
         self.return_confidence = return_confidence
 
+        dtype_name = hparams.get("compute_dtype")
+        compute_dtype = jnp.dtype(dtype_name) if dtype_name not in (None, "float32") else None
         self.model = build_model(
             num_classes=self.vocab.num_classes,
             encoder=hparams.get("encoder", "quartznet12_context"),
@@ -111,6 +122,7 @@ class AsrTranslator:
             drop_rate=float(hparams.get("drop_rate", 0.0)),
             mask=bool(hparams.get("mask", True)),
             feature_in=hparams.get("feature_in"),
+            dtype=compute_dtype,
         )
         self.params = state_raw["params"]
         self.batch_stats = state_raw.get("batch_stats", {})
@@ -129,7 +141,8 @@ class AsrTranslator:
     # ------------------------------------------------------------------
     def _forward(self, waves, wave_lens):
         feats, feat_lens = log_mel_spectrogram(waves, wave_lens, self.frontend, rng=None)
-        feats = normalize_features(feats, feat_lens)
+        if self.normalize:
+            feats = normalize_features(feats, feat_lens)
         percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
         log_probs, out_lens = self.model.apply(
             {"params": self.params, "batch_stats": self.batch_stats},
@@ -155,7 +168,14 @@ class AsrTranslator:
         """Transcribe a list of 1-D float32 waveforms."""
         if self.ssl_extractor is not None:
             feats, _ = self.ssl_extractor(list(waves))  # (B, T, 512)
-            frames = np.asarray([int(w.shape[0] / 16000 * 50) for w in waves], np.int32)
+            # exact wav2vec2 conv-stack output lengths, not a 50 Hz estimate
+            # (``/root/reference/convert_manifestwav2pkl.py:53-60`` returns
+            # the extractor's own lengths as percentages)
+            from ..ssl_codec.wav2vec_flax import Wav2Vec2FeatureEncoderFlax
+
+            sample_lens = np.asarray([w.shape[0] for w in waves], np.int64)
+            frames = np.asarray(
+                Wav2Vec2FeatureEncoderFlax.output_lengths(sample_lens), np.int32)
             frames = np.minimum(frames, feats.shape[1])
             log_probs, out_lens = self._jit_forward_feats(
                 jnp.asarray(feats), jnp.asarray(frames))
@@ -234,12 +254,25 @@ class AsrTranslator:
         log_probs = np.asarray(log_probs)
         out_lens = np.asarray(out_lens)
 
-        # sample -> output-frame conversion, from the model's own length math
+        # sample -> output-frame conversion via the model's EXACT length
+        # function (mel framing + int(T'*percent) trim), not a linear
+        # proportion — a rounding mismatch there can drop or duplicate a
+        # boundary character (ADVICE r2)
+        from ..ops.frontend import mel_num_frames
+
+        T_mel = mel_num_frames(chunk, self.frontend)
+
+        def out_frame(s: int, frames: int) -> int:
+            """Output frames a keep-prefix of `s` samples would produce."""
+            if s <= 0:
+                return 0
+            return min(frames, frames * mel_num_frames(s, self.frontend) // T_mel)
+
         pieces = []
         for i, (start, keep_lo, keep_hi) in enumerate(plans):
             frames = int(out_lens[i])
-            f_lo = int(round(keep_lo * frames / max(int(lens[i]), 1)))
-            f_hi = int(round(keep_hi * frames / max(int(lens[i]), 1)))
+            f_lo = out_frame(keep_lo, frames)
+            f_hi = out_frame(keep_hi, frames)
             pieces.append(log_probs[i, f_lo : max(f_hi, f_lo)])
         stitched = np.concatenate(pieces, axis=0)[None]
         total = np.asarray([stitched.shape[1]], np.int32)

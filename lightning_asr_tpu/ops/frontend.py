@@ -38,6 +38,7 @@ the NWC conv encoder that follows.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import os
 from dataclasses import dataclass
@@ -79,6 +80,13 @@ class MelFrontendConfig:
     def total_pad(self) -> int:
         # zero pad both sides + center reflect pad both sides
         return self.pad + self.n_fft // 2
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MelFrontendConfig":
+        """Rebuild from a checkpoint-hparams dict (unknown keys ignored, so
+        old checkpoints and future fields stay loadable)."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
 
     def lax_precision(self) -> lax.Precision:
         return {

@@ -75,7 +75,16 @@ class Trainer:
         callbacks: Optional[list] = None,
         plateau=None,
         plateau_monitor: str = "val_loss",
+        device_cache: bool = False,
     ):
+        """``device_cache=True`` keeps every train batch resident in HBM
+        after epoch 0: later epochs iterate the SAME device arrays in a
+        reshuffled order — zero host decode and zero host->device transfer
+        in steady state.  Batch composition (incl. any random crop) is
+        frozen at epoch 0; SpecAugment stays fresh because the step RNG
+        folds in ``state.step``.  Intended for corpora that fit device
+        memory (~1 GB per 8 audio-hours as int16) and for isolating device
+        throughput from host/transfer bottlenecks."""
         self.model = model
         self.optimizer = optimizer
         self.dm = datamodule
@@ -92,7 +101,22 @@ class Trainer:
         self.frontend = frontend
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
-        self.hparams = hparams or {}
+        self.hparams = dict(hparams or {})
+        # Carry every inference-relevant setting in the checkpoint so
+        # AsrTranslator rebuilds the *training* pipeline exactly — the
+        # reference's load_from_checkpoint contract includes numerics
+        # (``/root/reference/predict.py:37``): frontend config (precision
+        # tier shifts the feature distribution BN stats were calibrated on),
+        # conv compute dtype, and normalization mode. Explicit hparams win.
+        import dataclasses
+
+        self.hparams.setdefault("frontend", dataclasses.asdict(frontend))
+        model_dtype = getattr(model, "dtype", None)
+        self.hparams.setdefault(
+            "compute_dtype",
+            jnp.dtype(model_dtype).name if model_dtype is not None else "float32")
+        self.hparams.setdefault("normalize", bool(normalize))
+        self.hparams.setdefault("from_features", bool(from_features))
         self.rng = jax.random.PRNGKey(seed)
         self.profiler = SimpleProfiler()
         self.wer = WER(self.vocab.labels, self.vocab.use_cer)
@@ -109,6 +133,8 @@ class Trainer:
         # constant.
         self.plateau = plateau
         self.plateau_monitor = plateau_monitor
+        self.device_cache = device_cache
+        self._epoch_cache: Optional[list] = None  # [(Batch, dev_batch)]
 
         self._train_step = jax.jit(
             make_train_step(
@@ -256,12 +282,31 @@ class Trainer:
 
         return prefetch(gen(), self.dm.prefetch_depth)
 
+    def _device_cached_iter(self, epoch: int):
+        """HBM-resident epochs: epoch 0 stages batches normally while
+        recording them; later epochs replay the recorded device arrays in a
+        reshuffled order with no host work at all."""
+        if self._epoch_cache is None:
+            cache = []
+            for batch, dev_batch in self._device_iter(self.dm.train_dataloader(epoch)):
+                cache.append((batch, dev_batch))
+                yield batch, dev_batch
+            self._epoch_cache = cache
+        else:
+            order = np.random.default_rng(self.seed + 7919 * epoch).permutation(
+                len(self._epoch_cache))
+            for i in order:
+                yield self._epoch_cache[i]
+
     def _train_epoch(self, state: AsrTrainState, epoch: int) -> AsrTrainState:
-        batcher = self.dm.train_dataloader(epoch)
+        if self.device_cache:
+            batch_iter = self._device_cached_iter(epoch)
+        else:
+            batch_iter = self._device_iter(self.dm.train_dataloader(epoch))
         t_epoch = time.monotonic()
         audio_seconds = 0.0
         n_batches = 0
-        for i, (batch, dev_batch) in enumerate(self._device_iter(batcher)):
+        for i, (batch, dev_batch) in enumerate(batch_iter):
             with self.profiler.profile("train_step"):
                 state, metrics = self._train_step(state, dev_batch, self.rng)
             audio_seconds += batch.audio_seconds

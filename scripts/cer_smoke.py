@@ -123,14 +123,21 @@ def main() -> None:
     tr = AsrTranslator(root / "run" / "checkpoints" / "last")
     assert tr.vocab.use_cer, "checkpoint hparams must carry use_cer"
     result = tr.evaluate_manifest(manifest, batch_size=args.batch_size)
+    val_cer = metrics["val_wer_corpus"]
+    # ratio gate (VERDICT r2 #1): predict must match the trainer's val path
+    # — the round-2 run showed 5.4x when the checkpoint didn't carry the
+    # frontend precision / compute dtype.  Absolute-floor guard so a
+    # near-zero val CER doesn't turn rounding noise into a huge ratio.
+    ratio = result["cer"] / max(val_cer, 1e-3)
     report = {
         "vocab_file": str(vocab_file.name),
         "vocab_size": len(labels),
         "active_chars": args.chars,
         "utts": args.utts,
         "epochs": args.epochs,
-        "trainer_val_cer": metrics["val_wer_corpus"],
+        "trainer_val_cer": val_cer,
         "predict_cer": result["cer"],
+        "predict_vs_val_ratio": ratio,
         "n_utterances": result["n_utterances"],
         "device": "TPU v5e (1 chip, tunneled)",
     }
@@ -138,6 +145,7 @@ def main() -> None:
         json.dumps(report, indent=2) + "\n")
     print(json.dumps(report))
     assert result["cer"] < 0.1, "CER smoke failed to learn"
+    assert ratio <= 1.2, f"predict path diverges from trainer val path: {ratio:.2f}x"
     print("CER SMOKE OK")
 
 
