@@ -90,6 +90,15 @@ class BeamSearchDecoderWithLM:
             raise RuntimeError("native library predates hotword support — "
                                "delete native/build/ to rebuild")
         ids = self._tokenize(word)
+        space_ids = {i for i, v in enumerate(self.vocab) if v and v.isspace()}
+        if any(i in space_ids for i in ids):
+            # The C++ decoder is word-level: a space resets the hotword trie
+            # before advance, so a multi-word phrase earns partial boosts and
+            # then silently retracts them — it can never complete.
+            raise ValueError(
+                f"hotword {word!r} contains a space symbol; the word-level "
+                "decoder matches single words only — register each word "
+                "separately")
         arr = (ctypes.c_int * len(ids))(*ids)
         self._lib.lasr_decoder_add_hotword(self._decoder, arr, len(ids),
                                            ctypes.c_float(boost))

@@ -97,8 +97,11 @@ def _beam_step(state, lp_t, t, length, blank_id, K, V, L):
          jnp.tile(jnp.arange(V, dtype=jnp.int32), K)])
     N = K + K * V
 
-    # ---- merge identical prefixes: sort by h1, heads start (h1, h2) runs
-    order = jnp.argsort(cand_h1)
+    # ---- merge identical prefixes: lexicographic sort on (h1, h2) so equal
+    # pairs are always contiguous even on an h1 collision between distinct
+    # prefixes (stable argsort on h2, then stable argsort on h1)
+    order2 = jnp.argsort(cand_h2, stable=True)
+    order = order2[jnp.argsort(cand_h1[order2], stable=True)]
     h1_s, h2_s = cand_h1[order], cand_h2[order]
     lpb_s, lpnb_s = cand_lp_b[order], cand_lp_nb[order]
     src_s, ch_s = cand_src[order], cand_ch[order]
@@ -130,7 +133,9 @@ def _beam_step(state, lp_t, t, length, blank_id, K, V, L):
     n_last = jnp.where(extend, n_ch, src_last)
     write = extend[:, None] & (jnp.arange(L)[None, :] == src_plen[:, None])
     n_prefix = jnp.where(write, n_ch[:, None], n_prefix)
-    n_plen = src_plen + extend.astype(jnp.int32)
+    # clamp: when max_prefix_len < T the write mask above drops the char, so
+    # the reported length must not run past the stored prefix buffer
+    n_plen = jnp.minimum(src_plen + extend.astype(jnp.int32), L)
 
     # ---- freeze rows past their valid length
     valid = t < length

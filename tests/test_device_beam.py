@@ -100,3 +100,17 @@ def test_greedy_agreement_on_peaked_input():
     dev = DeviceBeamSearchDecoder(vocab, beam_width=8)
     assert dev.forward(log_probs, lengths) == \
         greedy_decode_to_strings(ids, lengths, vocab, blank_id=3)
+
+
+def test_max_prefix_len_clamps_reported_length():
+    """With max_prefix_len < T the write mask drops overflow chars; the
+    reported prefix length must not run past the buffer (ADVICE r2)."""
+    rng = np.random.default_rng(3)
+    T, C = 8, 4
+    lp = np.log(rng.dirichlet(np.ones(C), size=(1, T)).astype(np.float32))
+    lp[:, :, -1] = -8.0  # discourage blank so prefixes grow past L
+    prefixes, plens, _ = beam_search_device(
+        jnp.asarray(lp), jnp.asarray([T], np.int32), beam_width=4,
+        max_prefix_len=3)
+    assert prefixes.shape[-1] == 3
+    assert int(np.max(np.asarray(plens))) <= 3

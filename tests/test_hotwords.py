@@ -104,3 +104,12 @@ def test_multibyte_vocab_tokenization():
     assert dec._tokenize("the") == [1, 2]
     with pytest.raises(ValueError):
         dec._tokenize("thx")
+
+
+def test_multiword_hotword_rejected():
+    """A hotword containing a space can never complete in the word-level
+    decoder (the space resets the trie), so registration must fail loudly
+    instead of silently earning-and-retracting boosts (ADVICE r2)."""
+    with pytest.raises(ValueError, match="space"):
+        BeamSearchDecoderWithLM(VOCAB, beam_width=4, num_cpus=1,
+                                hotwords={"a b": 2.0})
