@@ -1,15 +1,24 @@
 #!/usr/bin/env python
 """Benchmark: training throughput (audio-sec/sec/chip) of the flagship
 QuartNet12-context CTC stack — full train step (on-device mel frontend +
-SpecAugment + fwd/bwd + NovoGrad) plus device-side greedy argmax, on
-synthetic 16.7s utterances at the reference batch size 32.
+SpecAugment + fwd/bwd + NovoGrad), on synthetic utterances at the reference
+batch size 32.
+
+Two numbers are reported in ONE JSON line:
+
+  * ``value`` — the 16.7 s single-bucket rate (the headline metric, kept
+    across rounds for continuity);
+  * ``weighted_value`` — a duration-weighted aggregate over the training
+    bucket ladder (``data/pipeline.py:40``) under a LibriSpeech-like
+    duration histogram: the rate a real epoch mixing those buckets would
+    sustain (harmonic mean of per-bucket rates weighted by audio share),
+    with ``per_bucket`` rates alongside so any other corpus histogram can
+    be re-aggregated.
 
 Baseline: the reference trains LibriSpeech-960 at ~50 min/epoch on an
 RTX 2060 (``/root/reference/README.md:57``) => 960*3600 / 3000 s ≈ 1152
 audio-seconds processed per wall-second.  ``vs_baseline`` is our
 throughput / 1152 (target: ≥5x per chip, BASELINE.md).
-
-Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -22,41 +31,41 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Training bucket ladder (data/pipeline.py:40, <= the 16.7 s train cap) with
+# approximate LibriSpeech-960 audio-share weights: utterances are segmented
+# close to the cap, so most AUDIO lives in the top buckets; the tail of
+# short utterances carries little audio mass.  Weights are the fraction of
+# total audio seconds falling in (prev, sec].
+SWEEP = [
+    (2.0, 0.01),
+    (4.0, 0.03),
+    (6.0, 0.05),
+    (8.0, 0.07),
+    (10.0, 0.09),
+    (12.0, 0.12),
+    (14.0, 0.18),
+    (16.7, 0.45),
+]
+CHARS_PER_SEC = 224 / 16.7  # reference-like transcript density
 
-def main() -> None:
-    from lightning_asr_tpu.utils.logging import enable_compile_cache
 
-    enable_compile_cache()
-    from lightning_asr_tpu.models import build_model
-    from lightning_asr_tpu.optim import cosine_annealing_warmup_restarts, novograd
-    from lightning_asr_tpu.ops.frontend import MelFrontendConfig
+def bench_bucket(model, optimizer, frontend, seconds: float, B: int = 32,
+                 n_windows: int = 3) -> float:
+    """Best-window throughput (audio-sec/sec) for one duration bucket."""
     from lightning_asr_tpu.training.steps import create_train_state, make_train_step
 
-    B = 32
-    SECONDS = 16.7
-    S = int(SECONDS * 16000)
-
-    model = build_model(num_classes=29, encoder="quartznet12_context", mask=True,
-                        dtype=jnp.bfloat16)
-    schedule = cosine_annealing_warmup_restarts(
-        first_cycle_steps=100000, cycle_mult=2, max_lr=1e-2, min_lr=1e-4,
-        warmup_steps=1000, gamma=0.5)
-    optimizer = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
-
+    S = int(seconds * 16000)
+    L = max(int(seconds * CHARS_PER_SEC), 4)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, optimizer, rng, feature_shape=(1, 320, 64))
-    # training frontend: 1-pass bf16 MXU DFT (parity mode "highest" is for
-    # eval/goldens; post-normalization the rare dB error is ~0.07 sigma)
-    frontend = MelFrontendConfig(precision="default")
 
     rng_np = np.random.default_rng(0)
-    # ~200 chars of target text for a 16.7s utterance
     batch = {
         "waves": jax.device_put((rng_np.standard_normal((B, S)) * 0.1).astype(np.float32)),
         "wave_lens": jax.device_put(np.full((B,), S, np.int32)),
         "prev_samples": jax.device_put(np.zeros((B,), np.float32)),
-        "targets": jax.device_put(rng_np.integers(0, 28, size=(B, 224)).astype(np.int32)),
-        "target_lens": jax.device_put(np.full((B,), 224, np.int32)),
+        "targets": jax.device_put(rng_np.integers(0, 28, size=(B, L)).astype(np.int32)),
+        "target_lens": jax.device_put(np.full((B,), L, np.int32)),
     }
 
     train_step = jax.jit(
@@ -71,24 +80,55 @@ def main() -> None:
     state, metrics = train_step(state, batch, rng)
     jax.block_until_ready(metrics["loss"])
 
-    # best of 3 windows — the tunneled backend has ~4% run-to-run variance
-    n_steps = 15
+    # short buckets need more steps per window for a stable measurement
+    n_steps = max(15, int(round(15 * 16.7 / seconds / 5) * 5))
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(n_windows):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, metrics = train_step(state, batch, rng)
         jax.block_until_ready(metrics["loss"])
         float(jnp.sum(metrics["loss"]))  # force a real host sync
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return B * seconds * n_steps / best_dt
 
-    audio_sec_per_sec = B * SECONDS * n_steps / best_dt
+
+def main() -> None:
+    from lightning_asr_tpu.utils.logging import enable_compile_cache
+
+    enable_compile_cache()
+    from lightning_asr_tpu.models import build_model
+    from lightning_asr_tpu.optim import cosine_annealing_warmup_restarts, novograd
+    from lightning_asr_tpu.ops.frontend import MelFrontendConfig
+
+    model = build_model(num_classes=29, encoder="quartznet12_context", mask=True,
+                        dtype=jnp.bfloat16)
+    schedule = cosine_annealing_warmup_restarts(
+        first_cycle_steps=100000, cycle_mult=2, max_lr=1e-2, min_lr=1e-4,
+        warmup_steps=1000, gamma=0.5)
+    optimizer = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
+    # training frontend: 1-pass bf16 MXU DFT (parity mode "highest" is for
+    # eval/goldens; post-normalization the rare dB error is ~0.07 sigma)
+    frontend = MelFrontendConfig(precision="default")
+
+    per_bucket = {}
+    for seconds, _ in SWEEP:
+        per_bucket[seconds] = bench_bucket(model, optimizer, frontend, seconds)
+
+    headline = per_bucket[16.7]
+    # epoch-mix rate: total audio / total time = 1 / sum(w_b / rate_b)
+    weighted = 1.0 / sum(w / per_bucket[s] for s, w in SWEEP)
+
     baseline = 960 * 3600 / (50 * 60.0)  # ≈1152 audio-sec/sec (RTX 2060, 960h)
     print(json.dumps({
         "metric": "train_throughput_audio_sec_per_sec_per_chip",
-        "value": round(audio_sec_per_sec, 1),
+        "value": round(headline, 1),
         "unit": "audio-sec/sec",
-        "vs_baseline": round(audio_sec_per_sec / baseline, 3),
+        "vs_baseline": round(headline / baseline, 3),
+        "weighted_value": round(weighted, 1),
+        "weighted_vs_baseline": round(weighted / baseline, 3),
+        "per_bucket": {str(s): round(v, 1) for s, v in per_bucket.items()},
+        "weights": {str(s): w for s, w in SWEEP},
     }))
 
 
