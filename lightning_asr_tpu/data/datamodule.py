@@ -39,7 +39,15 @@ class AsrDataModule:
         prefetch_depth: int = 2,
         pseudo_manifest=None,
         pseudo_max_duration: float = 16.7,
+        cache: Optional[str] = None,
     ):
+        """``cache='ram'`` enables the decode-once waveform cache: every wav
+        is decoded a single time (int16, exact for PCM16) and later epochs
+        slice crops straight from RAM — the cached-dataset mode for
+        steady-state epoch throughput (the dict is owned here because
+        batchers are rebuilt per epoch)."""
+        if cache not in (None, "ram"):
+            raise ValueError(f"cache must be None or 'ram', got {cache!r}")
         self.vocab = Vocabulary.from_config(labels)
         self.train_manifest = _as_list(train_manifest)
         self.dev_manifest = _as_list(dev_manifest)
@@ -59,6 +67,7 @@ class AsrDataModule:
         self.pseudo_manifest = _as_list(pseudo_manifest)
         self.pseudo_max_duration = pseudo_max_duration
         self.unlabeled_entries: List[ManifestEntry] = []
+        self._wave_cache: Optional[dict] = {} if cache == "ram" else None
         self._setup_done = False
 
     def setup(self) -> None:
@@ -97,7 +106,7 @@ class AsrDataModule:
             kwargs.update(shard_rank=rank, shard_count=world, pad_to=n_dev)
         return BucketBatcher(
             entries, self.vocab, bs, train=train, crop=self.crop and train,
-            seed=self.seed, **kwargs,
+            seed=self.seed, wave_cache=self._wave_cache, **kwargs,
         )
 
     def train_dataloader(self, epoch: int = 0) -> BucketBatcher:

@@ -90,6 +90,7 @@ class BucketBatcher:
         shard_count: int = 1,
         pad_to: int = 1,
         wire_dtype: str = "int16",
+        wave_cache: Optional[dict] = None,
     ):
         """``shard_rank``/``shard_count``: multi-host data parallelism.  Every
         process computes the IDENTICAL global batch plan (deterministic in
@@ -119,6 +120,11 @@ class BucketBatcher:
         self.seed = seed
         self.target_pad_multiple = target_pad_multiple
         self.epoch = 0
+        # decode-once RAM cache: path -> full int16 waveform, shared across
+        # epochs (the datamodule owns the dict since batchers are rebuilt
+        # per epoch).  An 8 h corpus is ~0.9 GB — decode leaves the epoch
+        # loop entirely after the first pass.
+        self.wave_cache = wave_cache
         # encode targets once
         self._encoded = [np.asarray(vocab.encode(e.text), np.int32) for e in self.entries]
 
@@ -219,6 +225,8 @@ class BucketBatcher:
         """Decode + crop the chunk's audio. Fast path: the native threaded
         WAV loader (GIL-free C++, overlaps with device compute under
         prefetch); fallback: the pure-python reader."""
+        if self.wave_cache is not None:
+            return self._decode_chunk_cached(bucket, chunk, paths)
         B = len(chunk)
         offsets = np.asarray([off for _, off, _ in chunk], np.int32)
         req_lens = np.asarray([ln for _, _, ln in chunk], np.int32)
@@ -264,6 +272,60 @@ class BucketBatcher:
             waves[i, :ln] = wave[off : off + ln]
             wave_lens[i] = ln
             prev_samples[i] = wave[off - 1] if off > 0 else 0.0
+        return waves, wave_lens, prev_samples
+
+
+    def _decode_chunk_cached(self, bucket: int, chunk, paths):
+        """RAM-cache path: each file is decoded ONCE (full length, int16 —
+        exact for 16-bit PCM) into ``self.wave_cache``; crops are sliced
+        from RAM on every epoch after the first.  This is the cached-dataset
+        mode that removes disk decode from the steady-state epoch loop
+        (an e2e-throughput feature; the reference re-decodes every epoch in
+        its dataloader workers, ``/root/reference/data_module.py:150-174``)."""
+        B = len(chunk)
+        missing = [i for i, p in enumerate(paths) if p not in self.wave_cache]
+        if missing:
+            full_lens = [int(round(self.entries[chunk[i][0]].duration
+                                   * self.sample_rate)) for i in missing]
+            max_n = _round_up(max(full_lens) + 16, 16)
+            m_paths = [paths[i] for i in missing]
+            try:
+                from ..native import load_wav_batch
+
+                waves, lens, _, srs = load_wav_batch(
+                    m_paths, np.zeros(len(m_paths), np.int32), max_n, dtype="int16")
+                if (lens < 0).any():
+                    raise RuntimeError("native decode failed for "
+                                       + m_paths[int(np.argmax(lens < 0))])
+                bad_sr = srs != self.sample_rate
+                if bad_sr.any():
+                    raise ValueError(
+                        f"{m_paths[int(np.argmax(bad_sr))]}: sample rate "
+                        f"{int(srs[bad_sr][0])} != {self.sample_rate}")
+                for j, p in enumerate(m_paths):
+                    self.wave_cache[p] = waves[j, : lens[j]].copy()
+            except (ImportError, OSError) as exc:
+                del exc  # fall back to the python reader
+                for p in m_paths:
+                    samples, sr = read_audio(p, mono=True)
+                    if sr != self.sample_rate:
+                        raise ValueError(f"{p}: sample rate {sr} != {self.sample_rate}")
+                    self.wave_cache[p] = np.round(
+                        samples[0] * 32768.0).clip(-32768, 32767).astype(np.int16)
+
+        waves = np.zeros((B, bucket), np.int16)
+        wave_lens = np.zeros(B, np.int32)
+        prev_samples = np.zeros(B, np.float32)
+        for i, (idx, offset, length) in enumerate(chunk):
+            w = self.wave_cache[paths[i]]
+            n = w.shape[0]
+            off = min(offset, max(n - 1, 0))
+            ln = min(length, n - off, bucket)
+            waves[i, :ln] = w[off : off + ln]
+            wave_lens[i] = ln
+            prev_samples[i] = float(w[off - 1]) / 32768.0 if off > 0 else 0.0
+        if self.wire_dtype != "int16":
+            waves = waves.astype(np.float32) / 32768.0
         return waves, wave_lens, prev_samples
 
 

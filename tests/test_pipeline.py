@@ -126,3 +126,45 @@ def test_prefetch_order_and_error():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="inner"):
         list(it)
+
+
+@pytest.mark.parametrize("crop", [False, True])
+def test_ram_cache_matches_uncached(corpus, crop):
+    """cache='ram' must produce byte-identical batches to the decode path,
+    for eval and for train-time crops, across epochs (decode happens once)."""
+    entries = read_manifests(corpus, 16.7)
+    vocab = Vocabulary(LABELS)
+    kw = dict(batch_size=2, train=crop, bucket_seconds=(1.0, 2.0, 4.0),
+              crop=crop, seed=3)
+    cache: dict = {}
+    for epoch in (0, 1):
+        plain = BucketBatcher(entries, vocab, **kw)
+        cached = BucketBatcher(entries, vocab, wave_cache=cache, **kw)
+        plain.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        for bp, bc in zip(plain, cached):
+            assert bp.paths == bc.paths
+            np.testing.assert_array_equal(bp.waves, bc.waves)
+            np.testing.assert_array_equal(bp.wave_lens, bc.wave_lens)
+            np.testing.assert_allclose(bp.prev_samples, bc.prev_samples,
+                                       atol=1.0 / 32768.0)
+    # every EMITTED file cached (train mode drops the last incomplete batch,
+    # so untouched files stay undecoded — laziness is the point)
+    assert len(cache) == (8 if not crop else 6)
+
+
+def test_ram_cache_python_fallback(corpus, monkeypatch):
+    """Cache population must also work without the native loader."""
+    import lightning_asr_tpu.native as native
+
+    monkeypatch.setattr(native, "load_wav_batch",
+                        lambda *a, **k: (_ for _ in ()).throw(OSError("no lib")))
+    entries = read_manifests(corpus, 16.7)
+    vocab = Vocabulary(LABELS)
+    cache: dict = {}
+    batcher = BucketBatcher(entries, vocab, batch_size=2, train=False,
+                            bucket_seconds=(1.0, 2.0, 4.0), crop=False,
+                            wave_cache=cache)
+    total = sum(b.size for b in batcher)
+    assert total == 8 and len(cache) == 8
+    assert all(w.dtype == np.int16 for w in cache.values())

@@ -115,3 +115,37 @@ def test_loss_decreases_single_batch(corpus, tmp_path):
         state, metrics = trainer._train_step(state, dev_batch, trainer.rng)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_device_cache_epochs(corpus, tmp_path):
+    """device_cache=True: epoch 0 stages batches to HBM; later epochs replay
+    the same device arrays (no host decode/transfer) in reshuffled order."""
+    dm = AsrDataModule(
+        train_manifest=str(corpus), dev_manifest=str(corpus),
+        labels=LABELS, train_bs=8, dev_bs=8, bucket_seconds=(0.7,))
+    model = build_model(num_classes=len(LABELS) + 1, mask=True)
+    schedule = cosine_annealing_warmup_restarts(
+        first_cycle_steps=100, cycle_mult=2, max_lr=1e-3, min_lr=1e-5,
+        warmup_steps=5, gamma=0.5)
+    opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
+    trainer = Trainer(
+        model, opt, dm, total_epochs=3, run_dir=tmp_path / "run_devcache",
+        lr_schedule=schedule, device_cache=True,
+        check_val_every_n_epoch=10, log_every_n_steps=10**9,
+        sample_log_every_n_batches=10**9)
+
+    calls = {"n": 0}
+    orig = dm.train_dataloader
+
+    def counting(epoch=0):
+        calls["n"] += 1
+        return orig(epoch)
+
+    dm.train_dataloader = counting
+    state = trainer.fit()
+    assert calls["n"] == 1  # the dataloader was built for epoch 0 only
+    assert trainer._epoch_cache is not None and len(trainer._epoch_cache) == 2
+    assert int(state.step) == 6  # 2 steps/epoch x 3 epochs all ran
+    assert int(state.nan_count) == 0
+    # replay must reshuffle: epoch stats show the same batch count
+    assert all(s["batches"] == 2 for s in trainer.epoch_stats)

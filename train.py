@@ -56,6 +56,7 @@ def main(argv=None) -> None:
         seed=seed,
         bucket_seconds=data_cfg.get("bucket_seconds"),
         prefetch_depth=data_cfg.get("prefetch_depth", 2),
+        cache=data_cfg.get("cache"),
     )
 
     import jax.numpy as jnp
@@ -117,6 +118,7 @@ def main(argv=None) -> None:
         mesh=make_mesh(train_cfg.get("n_devices")),
         seed=seed,
         plateau=plateau,
+        device_cache=train_cfg.get("device_cache", False),
         hparams={
             "labels": dm.vocab.labels,
             "use_cer": dm.vocab.use_cer,
