@@ -64,3 +64,40 @@ def test_lstm_pallas_unidirectional():
     ref = np.asarray(lstm(x, lens, fw, None))
     out = np.asarray(lstm_pallas(x, lens, fw, None))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("T,lengths", [(40, [40, 25, 1]), (37, [30, 37, 9])])
+def test_lstm_pallas_fused_bidir_matches_scan(T, lengths):
+    """Batch-stacked direction fusion (2x-batch layout): outputs identical
+    to the scan oracle and to the two-kernel path."""
+    rng = np.random.default_rng(3)
+    B, IN, H = 3, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, T, IN)).astype(np.float32))
+    lens = jnp.asarray(np.array(lengths, np.int32))
+    fw = make_weights(rng, IN, H)
+    bw = make_weights(rng, IN, H)
+
+    ref = np.asarray(lstm(x, lens, fw, bw))
+    out = np.asarray(lstm_pallas(x, lens, fw, bw, fuse_directions=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_pallas_fused_bidir_grads_match_scan():
+    rng = np.random.default_rng(4)
+    B, T, IN, H = 2, 32, 12, 8
+    x = jnp.asarray(rng.standard_normal((B, T, IN)).astype(np.float32))
+    lens = jnp.asarray(np.array([32, 20], np.int32))
+    fw = make_weights(rng, IN, H)
+    bw = make_weights(rng, IN, H)
+    probe = jnp.asarray(rng.standard_normal((B, T, 2 * H)).astype(np.float32))
+
+    def loss(fn, x, fw, bw, **kw):
+        return jnp.sum(fn(x, lens, fw, bw, **kw) * probe)
+
+    g_ref = jax.grad(lambda *a: loss(lstm, *a), argnums=(0, 1, 2))(x, fw, bw)
+    g_out = jax.grad(
+        lambda *a: loss(lstm_pallas, *a, fuse_directions=True),
+        argnums=(0, 1, 2))(x, fw, bw)
+
+    for r, o in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_out)):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-4, atol=1e-5)
