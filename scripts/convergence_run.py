@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """Convergence evidence on real hardware: a HARD synthetic tone language,
-held-out dev set, trained with the exact 960h recipe
-(NovoGrad(0.8, 0.5) lr 1e-2 wd 1e-3 + CosineAnnealingWarmupRestarts +
-length-proportional SpecAugment — ``/root/reference/README.md:51-59``,
-``conf/conf.yaml:18-37``).
+held-out dev set, trained with the reference's real recipes at real scale
+(VERDICT r2 #4):
+
+  * ``--scheduler cawr`` — the exact 960h recipe: NovoGrad(0.8, 0.5)
+    lr 1e-2 wd 1e-3, CosineAnnealingWarmupRestarts (warmup 1000, min_lr
+    1e-4, cycle_mult 2, gamma 0.5, first cycle = ``--epochs`` x
+    steps/epoch), random crop + length-proportional SpecAugment
+    (``/root/reference/README.md:51-59``, ``train.py:46-62``).  With the
+    reference's parameterization the first restart lands exactly at
+    end-of-training; pass ``--extra_epochs N`` to train through the
+    boundary and capture the restart firing in the LR trace.
+  * ``--scheduler plateau`` — the train-100 recipe (ReduceLROnPlateau,
+    ``README.md:38-48``).
 
 Unlike the overfit sanity (train==dev), this measures GENERALIZATION:
   * 26-character FORMANT alphabet: each character is a harmonic source
@@ -16,10 +25,16 @@ Unlike the overfit sanity (train==dev), this measures GENERALIZATION:
   * per-utterance f0 ~ U(95, 260) Hz train / U(85, 300) dev — dev speakers
     extend OUTSIDE the train pitch range — plus 3% vibrato;
   * amplitude envelopes, per-char duration jitter, additive noise,
-    random utterance lengths 2-8 s; dev texts disjoint from train texts.
+    mixed utterance lengths ~2-9 s; dev texts disjoint from train texts.
 
-Writes CONVERGENCE.json (per-epoch val WER/loss curve + recipe) at the repo
-root.  Usage: python scripts/convergence_run.py [--utts 2000] [--epochs 24]
+Each invocation writes its run under ``runs[tag]`` in CONVERGENCE.json
+(curve + per-epoch LR trace), preserving other tags.
+
+Usage:
+  python scripts/convergence_run.py --utts 20000 --epochs 100 \
+      --extra_epochs 10 --tag cawr_960h_20k
+  python scripts/convergence_run.py --utts 5000 --epochs 60 \
+      --scheduler plateau --tag plateau_train100
 """
 
 from __future__ import annotations
@@ -79,8 +94,9 @@ def make_split(root: Path, n_utts: int, seed: int, f0_lo: float,
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_utts):
-        n_words = int(rng.integers(4, 12))
-        words = ["".join(rng.choice(CHARS, size=rng.integers(2, 6)))
+        # mixed durations ~2-9 s (real-corpus-like spread over buckets)
+        n_words = int(rng.integers(4, 16))
+        words = ["".join(rng.choice(CHARS, size=rng.integers(2, 7)))
                  for _ in range(n_words)]
         text = " ".join(words)
         f0 = float(rng.uniform(f0_lo, f0_hi))
@@ -98,19 +114,30 @@ def make_split(root: Path, n_utts: int, seed: int, f0_lo: float,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--utts", type=int, default=2000)
-    ap.add_argument("--dev_utts", type=int, default=200)
-    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--utts", type=int, default=20000)
+    ap.add_argument("--dev_utts", type=int, default=500)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--extra_epochs", type=int, default=0,
+                    help="train past the first CAWR cycle to capture the restart")
     ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--scheduler", choices=("cawr", "plateau"), default="cawr")
+    ap.add_argument("--tag", type=str, default=None)
     ap.add_argument("--corpus", type=str, default="/tmp/convergence_corpus")
+    ap.add_argument("--val_every", type=int, default=1)
     args = ap.parse_args()
+    tag = args.tag or f"{args.scheduler}_{args.utts}"
 
     import jax.numpy as jnp
+    import optax
 
     from lightning_asr_tpu.data import AsrDataModule
     from lightning_asr_tpu.models import build_model
     from lightning_asr_tpu.ops.frontend import MelFrontendConfig
-    from lightning_asr_tpu.optim import cosine_annealing_warmup_restarts, novograd
+    from lightning_asr_tpu.optim import (
+        ReduceLROnPlateau,
+        cosine_annealing_warmup_restarts,
+        novograd,
+    )
     from lightning_asr_tpu.training import Trainer
     from lightning_asr_tpu.utils import enable_compile_cache
 
@@ -124,66 +151,106 @@ def main() -> None:
         # train f0 95-260 Hz; dev speakers extend outside that range
         train_manifest = make_split(root, args.utts, 0, 95.0, 260.0, "train")
         dev_manifest = make_split(root, args.dev_utts, 1, 85.0, 300.0, "dev")
-        print(f"corpus built in {time.monotonic()-t0:.0f}s")
+        print(f"corpus built in {time.monotonic()-t0:.0f}s", flush=True)
 
     dm = AsrDataModule(
         train_manifest=str(train_manifest), dev_manifest=str(dev_manifest),
         test_manifest=str(dev_manifest), labels=LABELS,
         train_bs=args.batch_size, dev_bs=args.batch_size,
-        bucket_seconds=(3.0, 5.0, 8.5),
+        bucket_seconds=(3.0, 5.0, 7.0, 9.0, 12.0),
+        cache="ram",  # decode once; epochs 1+ slice crops from RAM
     )
     model = build_model(num_classes=len(LABELS) + 1, mask=True, dtype=jnp.bfloat16)
     steps_per_epoch = dm.steps_per_epoch()
-    # exact 960h recipe scaled to this corpus: per-step CAWR over the full
-    # run, warmup 1000, min_lr 1e-4, cycle_mult 2, gamma 0.5
+    total_epochs = args.epochs + args.extra_epochs
+    # exact 960h recipe at this corpus scale: per-step CAWR, first cycle =
+    # --epochs x steps/epoch (the reference's parameterization,
+    # train.py:53), warmup 1000, min_lr 1e-4, cycle_mult 2, gamma 0.5
     first_cycle = max(args.epochs * steps_per_epoch, 4)
-    schedule = cosine_annealing_warmup_restarts(
-        first_cycle_steps=first_cycle, cycle_mult=2, max_lr=1e-2, min_lr=1e-4,
-        warmup_steps=min(1000, first_cycle // 3), gamma=0.5)
-    opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
+    plateau = None
+    if args.scheduler == "cawr":
+        schedule = cosine_annealing_warmup_restarts(
+            first_cycle_steps=first_cycle, cycle_mult=2, max_lr=1e-2,
+            min_lr=1e-4, warmup_steps=min(1000, first_cycle // 3), gamma=0.5)
+        opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
+    else:
+        # train-100 recipe: fixed lr 1e-2 + ReduceLROnPlateau on val loss
+        schedule = None
+        plateau = ReduceLROnPlateau(init_lr=1e-2)
+        opt = optax.inject_hyperparams(novograd)(
+            learning_rate=1e-2, betas=(0.8, 0.5), weight_decay=1e-3)
 
     curve = []
 
+    def current_lr(trainer) -> float:
+        if schedule is not None:
+            return float(schedule(max(trainer.global_step - 1, 0)))
+        return float(plateau.lr)
+
     def write_report() -> None:
-        report = {
+        run_report = {
             "task": "synthetic 26-char formant language (two-formant "
                     "characters, speaker-random f0), dev speakers/texts unseen",
             "train_utts": args.utts, "dev_utts": args.dev_utts,
-            "epochs": args.epochs, "batch_size": args.batch_size,
-            "recipe": {"optimizer": "novograd", "betas": [0.8, 0.5],
-                       "lr": 1e-2, "weight_decay": 1e-3,
-                       "schedule": "cosine_warmup_restarts",
-                       "warmup": min(1000, first_cycle // 3), "min_lr": 1e-4,
-                       "cycle_mult": 2, "gamma": 0.5,
-                       "spec_augment": {"freq_mask": 27, "time_mask": 0.07}},
+            "epochs": total_epochs, "batch_size": args.batch_size,
+            "steps_per_epoch": steps_per_epoch,
+            "scheduler": args.scheduler,
+            "recipe": ({"optimizer": "novograd", "betas": [0.8, 0.5],
+                        "lr": 1e-2, "weight_decay": 1e-3,
+                        "schedule": "cosine_warmup_restarts",
+                        "first_cycle_steps": first_cycle,
+                        "warmup": min(1000, first_cycle // 3), "min_lr": 1e-4,
+                        "cycle_mult": 2, "gamma": 0.5,
+                        "crop": True,
+                        "spec_augment": {"freq_mask": 27, "time_mask": 0.07}}
+                       if args.scheduler == "cawr" else
+                       {"optimizer": "novograd", "betas": [0.8, 0.5],
+                        "lr": 1e-2, "weight_decay": 1e-3,
+                        "schedule": "reduce_on_plateau", "crop": True,
+                        "spec_augment": {"freq_mask": 27, "time_mask": 0.07}}),
             "curve": curve,
             "final_val_wer": curve[-1]["val_wer"] if curve else None,
             "best_val_wer": min((c["val_wer"] for c in curve), default=None),
             "device": "TPU v5e (1 chip, tunneled)",
         }
         out = Path(__file__).resolve().parents[1] / "CONVERGENCE.json"
-        out.write_text(json.dumps(report, indent=2) + "\n")
+        merged = {}
+        if out.exists():
+            try:
+                merged = json.loads(out.read_text())
+            except json.JSONDecodeError:
+                merged = {}
+        if "runs" not in merged:  # migrate the round-2 single-run layout
+            merged = {"runs": ({"round2_4k": merged} if merged.get("curve") else {})}
+        merged["runs"][tag] = run_report
+        out.write_text(json.dumps(merged, indent=2) + "\n")
 
     class CurveTrainer(Trainer):
         def on_validation_end(self, state, epoch, val_metrics):
-            curve.append({"epoch": epoch, **{k: float(v) for k, v in val_metrics.items()},
+            curve.append({"epoch": epoch,
+                          **{k: float(v) for k, v in val_metrics.items()},
+                          "lr": current_lr(self),
                           "step": self.global_step})
             print(f"epoch {epoch}: val_wer={val_metrics['val_wer']:.4f} "
-                  f"val_loss={val_metrics['val_loss']:.3f}", flush=True)
+                  f"val_loss={val_metrics['val_loss']:.3f} "
+                  f"lr={curve[-1]['lr']:.5f}", flush=True)
             write_report()  # incremental: a partial run is still evidence
 
     trainer = CurveTrainer(
-        model, opt, dm, total_epochs=args.epochs, run_dir=str(root / "run"),
-        lr_schedule=schedule, check_val_every_n_epoch=1,
+        model, opt, dm, total_epochs=total_epochs, run_dir=str(root / f"run_{tag}"),
+        lr_schedule=schedule, check_val_every_n_epoch=args.val_every,
         log_every_n_steps=100, train_wer_every_n_steps=10**9,
-        sample_log_every_n_batches=10**9, frontend=MelFrontendConfig(),
+        sample_log_every_n_batches=10**9,
+        frontend=MelFrontendConfig(precision="default"),
         augment=True, freq_mask=27, time_mask=0.07,
-        hparams={"labels": LABELS, "recipe": "960h (CAWR + NovoGrad(0.8,0.5) + proportional SpecAugment)"},
+        plateau=plateau,
+        hparams={"labels": LABELS, "recipe": tag},
     )
     trainer.fit()
 
     write_report()
-    print(json.dumps({"final_val_wer": curve[-1]["val_wer"] if curve else None,
+    print(json.dumps({"tag": tag,
+                      "final_val_wer": curve[-1]["val_wer"] if curve else None,
                       "best_val_wer": min((c["val_wer"] for c in curve), default=None)}))
 
 
