@@ -1,4 +1,4 @@
-from .novograd import novograd
+from .novograd import novograd, novograd_with_runtime_lr
 from .schedules import (
     cosine_annealing_warmup_restarts,
     ReduceLROnPlateau,
@@ -8,6 +8,7 @@ from .schedules import (
 
 __all__ = [
     "novograd",
+    "novograd_with_runtime_lr",
     "cosine_annealing_warmup_restarts",
     "ReduceLROnPlateau",
     "get_lr_policy",

@@ -230,3 +230,20 @@ def _novograd_fused(learning_rate, beta1, beta2, eps, weight_decay,
         return new_updates, FusedNovogradState(state.count + 1, m_new, v_new, vmax_new)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def novograd_with_runtime_lr(learning_rate: float, **kwargs) -> "optax.GradientTransformation":
+    """NovoGrad wrapped in ``optax.inject_hyperparams`` with ONLY the
+    learning rate dynamic — the ReduceLROnPlateau recipe's requirement
+    (the controller rewrites ``opt_state.hyperparams['learning_rate']``
+    between epochs, ``/root/reference/train.py:49-52``).
+
+    Every other argument is declared static: a bare
+    ``inject_hyperparams(novograd)`` lifts ``eps``/``betas``/... into
+    traced hyperparams too, and novograd's python-level validation
+    (``if eps < 0``) then raises TracerBoolConversionError the first time
+    the update runs under jit — i.e. inside every real train step."""
+    static = ("betas", "eps", "weight_decay", "grad_averaging", "amsgrad",
+              "luc", "luc_trust", "luc_eps", "fused")
+    return optax.inject_hyperparams(novograd, static_args=static)(
+        learning_rate=learning_rate, **kwargs)

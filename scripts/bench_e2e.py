@@ -73,6 +73,11 @@ def make_corpus(root: Path, hours: float, sr: int = 16000) -> Path:
     with open(manifest, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    # realistic dev split (~5% of train) so the val-in-the-loop overhead
+    # matches real usage instead of re-scoring the whole corpus each epoch
+    with open(root / "dev_manifest.json", "w") as f:
+        for r in rows[:: 20]:
+            f.write(json.dumps(r) + "\n")
     print(f"corpus: {i} utts, {total/3600:.2f} h, wrote in {time.monotonic()-t0:.0f}s")
     return manifest
 
@@ -141,8 +146,10 @@ def run_mode(manifest: Path, mode: str, epochs: int, batch_size: int) -> dict:
     from lightning_asr_tpu.optim import cosine_annealing_warmup_restarts, novograd
     from lightning_asr_tpu.training import Trainer
 
+    dev_manifest = manifest.parent / "dev_manifest.json"
     dm = AsrDataModule(
-        train_manifest=str(manifest), dev_manifest=str(manifest),
+        train_manifest=str(manifest),
+        dev_manifest=str(dev_manifest if dev_manifest.exists() else manifest),
         test_manifest=None,
         labels=LABELS, train_bs=batch_size, dev_bs=batch_size,
         bucket_seconds=BUCKETS,

@@ -128,7 +128,6 @@ def main() -> None:
     tag = args.tag or f"{args.scheduler}_{args.utts}"
 
     import jax.numpy as jnp
-    import optax
 
     from lightning_asr_tpu.data import AsrDataModule
     from lightning_asr_tpu.models import build_model
@@ -137,6 +136,7 @@ def main() -> None:
         ReduceLROnPlateau,
         cosine_annealing_warmup_restarts,
         novograd,
+        novograd_with_runtime_lr,
     )
     from lightning_asr_tpu.training import Trainer
     from lightning_asr_tpu.utils import enable_compile_cache
@@ -177,8 +177,7 @@ def main() -> None:
         # train-100 recipe: fixed lr 1e-2 + ReduceLROnPlateau on val loss
         schedule = None
         plateau = ReduceLROnPlateau(init_lr=1e-2)
-        opt = optax.inject_hyperparams(novograd)(
-            learning_rate=1e-2, betas=(0.8, 0.5), weight_decay=1e-3)
+        opt = novograd_with_runtime_lr(1e-2, betas=(0.8, 0.5), weight_decay=1e-3)
 
     curve = []
 

@@ -157,9 +157,11 @@ def main() -> None:
         model = build_model(num_classes=len(LABELS) + 1, mask=True,
                             dtype=jnp.bfloat16, in_c=64, feature_in=512)
         steps = dm.steps_per_epoch()
+        first_cycle = max(args.epochs * steps, 2)
         schedule = cosine_annealing_warmup_restarts(
-            first_cycle_steps=max(args.epochs * steps, 2), cycle_mult=1,
-            max_lr=5e-3, min_lr=1e-4, warmup_steps=min(60, steps * 2), gamma=1.0)
+            first_cycle_steps=first_cycle, cycle_mult=1,
+            max_lr=5e-3, min_lr=1e-4,
+            warmup_steps=min(60, steps * 2, first_cycle - 1), gamma=1.0)
         opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
         trainer = SSLTrainer(
             model, opt, dm, total_epochs=args.epochs, run_dir=root / f"run_{inject}",

@@ -49,3 +49,31 @@ def test_plateau_controller_with_trainer_hook():
     state = Dummy()._set_lr(state, lr)
     np.testing.assert_allclose(
         float(state.opt_state.hyperparams["learning_rate"]), 1e-3, rtol=1e-6)
+
+
+def test_runtime_lr_optimizer_updates_under_jit():
+    """Regression (round 3): a bare inject_hyperparams(novograd) lifts eps/
+    betas into tracers, and novograd's validation raises
+    TracerBoolConversionError the first time the update runs under jit —
+    the path every real train step takes.  novograd_with_runtime_lr keeps
+    only learning_rate dynamic."""
+    from lightning_asr_tpu.optim import novograd_with_runtime_lr
+
+    opt = novograd_with_runtime_lr(1e-2, betas=(0.0, 0.5), weight_decay=1e-3)
+    p = {"w": jnp.ones((4,))}
+    state = opt.init(p)
+    g = {"w": jnp.full((4,), 2.0)}
+
+    @jax.jit
+    def step(g, state, p):
+        return opt.update(g, state, p)
+
+    updates1, state = step(g, state, p)  # must trace without error
+    base = float(np.abs(np.asarray(updates1["w"])[0]))
+    assert np.isfinite(base) and base > 0
+
+    # plateau drop -> same compiled fn, new lr as a runtime value
+    state.hyperparams["learning_rate"] = jnp.asarray(1e-3, jnp.float32)
+    updates2, _ = step(g, state, p)
+    scaled = float(np.abs(np.asarray(updates2["w"])[0]))
+    np.testing.assert_allclose(scaled, base / 10, rtol=1e-4)

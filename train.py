@@ -89,11 +89,10 @@ def main(argv=None) -> None:
         )
         optimizer = novograd(schedule, betas=betas, weight_decay=wd)
     else:  # reduce_on_plateau recipe (the 16.4% train-100 run)
-        import optax
+        from lightning_asr_tpu.optim import novograd_with_runtime_lr
 
         plateau = ReduceLROnPlateau(init_lr=lr)
-        optimizer = optax.inject_hyperparams(novograd)(
-            learning_rate=lr, betas=betas, weight_decay=wd)
+        optimizer = novograd_with_runtime_lr(lr, betas=betas, weight_decay=wd)
         schedule = None
 
     run_dir = setup_run_dir(cfg, default="outputs/run")
