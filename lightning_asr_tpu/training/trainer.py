@@ -295,6 +295,12 @@ class Trainer:
         else:
             order = np.random.default_rng(self.seed + 7919 * epoch).permutation(
                 len(self._epoch_cache))
+            # group the replay by bucket shape (stable sort keeps the shuffle
+            # within each bucket): consecutive steps then reuse one compiled
+            # graph — executable switches through the dispatch path are far
+            # more expensive than a step itself on the tunneled backend
+            order = sorted(order,
+                           key=lambda i: self._epoch_cache[i][0].waves.shape[1])
             for i in order:
                 yield self._epoch_cache[i]
 
@@ -346,6 +352,12 @@ class Trainer:
             for cb in self.callbacks:
                 cb.on_train_batch_end(self, state, metrics, batch, i)
 
+        # honest epoch wall: force a host fetch so every dispatched step has
+        # actually executed (async dispatch otherwise lets the loop race
+        # ahead of the device, especially in device_cache mode where no
+        # transfer or logging syncs mid-epoch)
+        if n_batches:
+            int(jax.device_get(state.nan_count))
         dt = time.monotonic() - t_epoch
         self.epoch_stats.append({
             "epoch": epoch, "batches": n_batches, "wall_sec": dt,
