@@ -124,6 +124,11 @@ def main() -> None:
     ap.add_argument("--tag", type=str, default=None)
     ap.add_argument("--corpus", type=str, default="/tmp/convergence_corpus")
     ap.add_argument("--val_every", type=int, default=1)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the run's 'last' checkpoint, seeding "
+                         "the curve from the tag's existing CONVERGENCE.json "
+                         "entry (an interrupted run picks up mid-schedule; "
+                         "state.step restores CAWR phase exactly)")
     args = ap.parse_args()
     tag = args.tag or f"{args.scheduler}_{args.utts}"
 
@@ -180,6 +185,21 @@ def main() -> None:
         opt = novograd_with_runtime_lr(1e-2, betas=(0.8, 0.5), weight_decay=1e-3)
 
     curve = []
+    run_dir = root / f"run_{tag}"
+    resume_from = None
+    if args.resume:
+        last = run_dir / "checkpoints" / "last"
+        if last.exists():
+            resume_from = "last"
+            report_path = Path(__file__).resolve().parents[1] / "CONVERGENCE.json"
+            if report_path.exists():
+                prior = json.loads(report_path.read_text())
+                curve.extend(prior.get("runs", {}).get(tag, {}).get("curve", []))
+            print(f"resuming {tag} from {last} with {len(curve)} prior "
+                  f"curve points", flush=True)
+        else:
+            print(f"--resume requested but {last} missing; starting fresh",
+                  flush=True)
 
     def current_lr(trainer) -> float:
         if schedule is not None:
@@ -236,7 +256,7 @@ def main() -> None:
             write_report()  # incremental: a partial run is still evidence
 
     trainer = CurveTrainer(
-        model, opt, dm, total_epochs=total_epochs, run_dir=str(root / f"run_{tag}"),
+        model, opt, dm, total_epochs=total_epochs, run_dir=str(run_dir),
         lr_schedule=schedule, check_val_every_n_epoch=args.val_every,
         log_every_n_steps=100, train_wer_every_n_steps=10**9,
         sample_log_every_n_batches=10**9,
@@ -245,7 +265,7 @@ def main() -> None:
         plateau=plateau,
         hparams={"labels": LABELS, "recipe": tag},
     )
-    trainer.fit()
+    trainer.fit(resume=resume_from)
 
     write_report()
     print(json.dumps({"tag": tag,
