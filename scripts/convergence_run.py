@@ -129,6 +129,16 @@ def main() -> None:
                          "the curve from the tag's existing CONVERGENCE.json "
                          "entry (an interrupted run picks up mid-schedule; "
                          "state.step restores CAWR phase exactly)")
+    ap.add_argument("--chunk_epochs", type=int, default=0,
+                    help="stop (cleanly, after a validated+checkpointed epoch) "
+                         "once N epochs have trained in THIS process.  The "
+                         "tunneled axon client retains a host copy of every "
+                         "host->device transfer (~one batch/step, verified "
+                         "leak-free on the CPU backend), so a long run OOMs "
+                         "the host around 40 epochs at 20k-utt scale; "
+                         "chunked --resume loops bound the RSS.  Rounded up "
+                         "to a multiple of --val_every so the stop lands on "
+                         "a checkpoint boundary.")
     args = ap.parse_args()
     tag = args.tag or f"{args.scheduler}_{args.utts}"
 
@@ -244,7 +254,13 @@ def main() -> None:
         merged["runs"][tag] = run_report
         out.write_text(json.dumps(merged, indent=2) + "\n")
 
+    chunk = args.chunk_epochs
+    if chunk:
+        chunk = -(-chunk // args.val_every) * args.val_every
+
     class CurveTrainer(Trainer):
+        epochs_this_process = 0
+
         def on_validation_end(self, state, epoch, val_metrics):
             curve.append({"epoch": epoch,
                           **{k: float(v) for k, v in val_metrics.items()},
@@ -254,6 +270,13 @@ def main() -> None:
                   f"val_loss={val_metrics['val_loss']:.3f} "
                   f"lr={curve[-1]['lr']:.5f}", flush=True)
             write_report()  # incremental: a partial run is still evidence
+
+        def on_train_epoch_end(self, state, epoch):
+            self.epochs_this_process += 1
+            if chunk and self.epochs_this_process >= chunk:
+                # fit() validates + checkpoints this epoch before honoring
+                # should_stop, so the next --resume picks up exactly here
+                self.should_stop = True
 
     trainer = CurveTrainer(
         model, opt, dm, total_epochs=total_epochs, run_dir=str(run_dir),
@@ -268,9 +291,11 @@ def main() -> None:
     trainer.fit(resume=resume_from)
 
     write_report()
+    last_epoch = max((c["epoch"] for c in curve), default=-1)
     print(json.dumps({"tag": tag,
                       "final_val_wer": curve[-1]["val_wer"] if curve else None,
-                      "best_val_wer": min((c["val_wer"] for c in curve), default=None)}))
+                      "best_val_wer": min((c["val_wer"] for c in curve), default=None),
+                      "completed": last_epoch >= total_epochs - 1}))
 
 
 if __name__ == "__main__":
