@@ -15,6 +15,10 @@ Two numbers are reported in ONE JSON line:
     with ``per_bucket`` rates alongside so any other corpus histogram can
     be re-aggregated.
 
+``large_batch_16.7s`` adds bs=64/128 points on the headline bucket — the
+reference is locked to bs=32 by GPU memory; TPU HBM is not, and larger
+batches amortize the BiLSTM recurrence (the step's serial fraction).
+
 Baseline: the reference trains LibriSpeech-960 at ~50 min/epoch on an
 RTX 2060 (``/root/reference/README.md:57``) => 960*3600 / 3000 s ≈ 1152
 audio-seconds processed per wall-second.  ``vs_baseline`` is our
@@ -115,6 +119,19 @@ def main() -> None:
     for seconds, _ in SWEEP:
         per_bucket[seconds] = bench_bucket(model, optimizer, frontend, seconds)
 
+    # beyond reference parity: the reference is locked to bs=32 by GPU
+    # memory (/root/reference/conf/conf.yaml:24); larger batches amortize
+    # the BiLSTM recurrence + per-step overheads on TPU.  Report the
+    # large-batch points separately so `value` stays the bs=32
+    # apples-to-apples number.
+    large_batch = {}
+    for B in (64, 128):
+        try:
+            large_batch[B] = bench_bucket(model, optimizer, frontend, 16.7, B=B)
+        except Exception as e:  # HBM-bound on smaller parts: report what fits
+            large_batch[f"bs{B}_error"] = f"{type(e).__name__}: {e}"[:200]
+            break
+
     headline = per_bucket[16.7]
     # epoch-mix rate: total audio / total time = 1 / sum(w_b / rate_b)
     weighted = 1.0 / sum(w / per_bucket[s] for s, w in SWEEP)
@@ -129,6 +146,10 @@ def main() -> None:
         "weighted_vs_baseline": round(weighted / baseline, 3),
         "per_bucket": {str(s): round(v, 1) for s, v in per_bucket.items()},
         "weights": {str(s): w for s, w in SWEEP},
+        "large_batch_16.7s": {
+            (b if isinstance(b, str) else f"bs{b}"):
+                (round(v, 1) if isinstance(v, float) else v)
+            for b, v in large_batch.items()},
     }))
 
 

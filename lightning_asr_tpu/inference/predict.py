@@ -177,16 +177,36 @@ class AsrTranslator:
             frames = np.asarray(
                 Wav2Vec2FeatureEncoderFlax.output_lengths(sample_lens), np.int32)
             frames = np.minimum(frames, feats.shape[1])
+            # batch-dim bucketing (see the mel path below)
+            B = len(waves)
+            Bp = 1 << (B - 1).bit_length()
+            if Bp != B:
+                feats = np.concatenate(
+                    [feats, np.repeat(feats[:1], Bp - B, axis=0)], axis=0)
+                frames = np.concatenate([frames, np.repeat(frames[:1], Bp - B)])
             log_probs, out_lens = self._jit_forward_feats(
                 jnp.asarray(feats), jnp.asarray(frames))
+            log_probs, out_lens = log_probs[:B], out_lens[:B]
         else:
             n_max = self._bucket_len(max(w.shape[0] for w in waves))
-            batch = np.zeros((len(waves), n_max), np.float32)
-            lens = np.zeros(len(waves), np.int32)
+            # bucket the BATCH dimension too (next power of two): callers
+            # like the serving DynamicBatcher produce arbitrary batch sizes
+            # depending on arrival timing, and each distinct (B, T) shape
+            # is a separate XLA compile — pad rows with a copy of row 0
+            # (benign: keeps per-utterance normalization finite) and trim
+            # the outputs back to the real rows
+            B = len(waves)
+            Bp = 1 << (B - 1).bit_length()
+            batch = np.zeros((Bp, n_max), np.float32)
+            lens = np.zeros(Bp, np.int32)
             for i, w in enumerate(waves):
                 batch[i, : w.shape[0]] = w
                 lens[i] = w.shape[0]
+            for i in range(B, Bp):
+                batch[i] = batch[0]
+                lens[i] = lens[0]
             log_probs, out_lens = self._jit_forward(jnp.asarray(batch), jnp.asarray(lens))
+            log_probs, out_lens = log_probs[:B], out_lens[:B]
         if self.beam_decoder is not None:
             texts = self.beam_decoder.forward(np.asarray(log_probs), np.asarray(out_lens))
         else:
@@ -198,6 +218,30 @@ class AsrTranslator:
             conf = sum_logprob(np.asarray(log_probs), np.asarray(out_lens), self.vocab.blank_id)
             return list(zip(texts, conf.tolist()))
         return texts
+
+    def warmup(self, seconds: Sequence[float] = (5.0,),
+               max_batch: int = 1) -> None:
+        """Pre-compile the (batch, bucket) ladder a server will hit.
+
+        Every distinct padded shape is a separate XLA compile (20-40 s on
+        the tunneled backend), so a cold server answers its first
+        concurrent burst at compile latency, not step latency.  Runs one
+        silent batch through ``transcribe_batch`` for each power-of-two
+        batch size up to ``max_batch`` x each duration's bucket — after
+        this, any request pattern within the ladder reuses cached
+        executables.  (No reference analog: the Flask app serves
+        single-stream eager torch, ``/root/reference/server/app.py``.)"""
+        sizes = []
+        b = 1
+        while b <= max(1, max_batch):
+            sizes.append(b)
+            b <<= 1
+        buckets = sorted({self._bucket_len(int(s * self.frontend.sample_rate))
+                          for s in seconds})
+        for n in buckets:
+            wave = np.zeros(n, np.float32)
+            for b in sizes:
+                self.transcribe_batch([wave] * b)
 
     def translate(self, audio: Union[str, Path, bytes, io.BytesIO]) -> str:
         """Transcribe one utterance from a path / bytes / BytesIO

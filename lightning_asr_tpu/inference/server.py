@@ -21,7 +21,7 @@ import queue
 import re
 import threading
 from concurrent.futures import Future
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -141,12 +141,19 @@ def serve(
 
 def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
                        batching: bool = False, max_batch: int = 8,
-                       max_wait_ms: float = 20.0):
+                       max_wait_ms: float = 20.0,
+                       warmup_seconds: Optional[Sequence[float]] = None):
     """stdlib HTTP server exposing the same POST / contract (testable).
     ``batching=True`` wraps the translator in a DynamicBatcher so concurrent
-    requests share device batches."""
+    requests share device batches.  ``warmup_seconds`` pre-compiles the
+    (batch, bucket) executable ladder for those request durations at
+    startup — without it a cold server answers its first concurrent burst
+    at XLA-compile latency (20-40 s/shape on the tunneled backend), not
+    step latency."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    if warmup_seconds:
+        translator.warmup(warmup_seconds, max_batch if batching else 1)
     if batching:
         translator = DynamicBatcher(translator, max_batch, max_wait_ms)
 

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Serving benchmark: latency/throughput of the HTTP inference server on
+real hardware (SURVEY §1 L8 / §3.6 — the reference's Flask app serves one
+request at a time; ours adds device-side dynamic batching).
+
+Measures, per concurrency level, against a live ``make_stdlib_server``:
+
+  * p50 / p95 request latency (multipart POST / -> transcription text),
+  * sustained requests/sec and audio-sec/sec,
+
+for batching OFF (reference-equivalent serial behavior) and ON (the
+DynamicBatcher collects concurrent requests into one device batch, so
+throughput scales with TPU batch efficiency instead of request latency).
+
+Writes SERVING_BENCH.json at the repo root.
+
+Usage: python scripts/bench_serving.py [--seconds 5.0] [--requests 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+LABELS = [" ", "'"] + [chr(ord("a") + i) for i in range(26)]
+
+
+def make_checkpoint(root: Path) -> str:
+    """Random-init checkpoint with full hparams (weights don't affect the
+    compute cost being measured)."""
+    import jax
+
+    from lightning_asr_tpu.models import build_model
+    from lightning_asr_tpu.optim import novograd
+    from lightning_asr_tpu.training.checkpoint import CheckpointManager
+    from lightning_asr_tpu.training.steps import create_train_state
+
+    model = build_model(num_classes=len(LABELS) + 1, mask=True)
+    opt = novograd(1e-3, betas=(0.8, 0.5))
+    state = create_train_state(model, opt, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(root, top_k=1)
+    mgr.save(state, epoch=0, metrics={"val_wer": 1.0},
+             hparams={"labels": LABELS, "use_cer": False,
+                      "encoder": "quartznet12_context", "mask": True,
+                      "drop_rate": 0.0})
+    return str(root / "last")
+
+
+def multipart_wav(wave_bytes: bytes) -> tuple[bytes, str]:
+    boundary = "benchboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"; filename="a.wav"\r\n'
+        "Content-Type: audio/wav\r\n\r\n"
+    ).encode() + wave_bytes + f"\r\n--{boundary}--\r\n".encode()
+    return body, boundary
+
+
+def run_level(port: int, body: bytes, boundary: str, concurrency: int,
+              n_requests: int, audio_seconds: float) -> dict:
+    import urllib.request
+
+    def one() -> float:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            resp.read()
+        return time.perf_counter() - t0
+
+    one()  # warm this level's path
+    lat = []
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(concurrency) as pool:
+        for dt in pool.map(lambda _: one(), range(n_requests)):
+            lat.append(dt)
+    wall = time.perf_counter() - t0
+    lat = np.asarray(lat)
+    return {
+        "concurrency": concurrency,
+        "requests": n_requests,
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+        "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+        "rps": round(n_requests / wall, 2),
+        "audio_sec_per_sec": round(n_requests * audio_seconds / wall, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="existing checkpoint dir (default: random-init)")
+    args = ap.parse_args()
+
+    import tempfile
+
+    from lightning_asr_tpu.data.audio import write_wav
+    from lightning_asr_tpu.inference import AsrTranslator
+    from lightning_asr_tpu.inference.server import make_stdlib_server
+    from lightning_asr_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    tmp = Path(tempfile.mkdtemp(prefix="serve_bench_"))
+    ckpt = args.ckpt or make_checkpoint(tmp / "ckpt")
+
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal(int(args.seconds * 16000)) * 0.1).astype(np.float32)
+    wav_path = tmp / "req.wav"
+    write_wav(wav_path, wave[None], 16000)
+    body, boundary = multipart_wav(wav_path.read_bytes())
+
+    report = {"audio_seconds": args.seconds, "requests_per_level": args.requests,
+              "device": "TPU v5e (1 chip, tunneled)", "modes": {}}
+    for batching in (False, True):
+        translator = AsrTranslator(ckpt)
+        t0 = time.perf_counter()
+        server = make_stdlib_server(translator, "127.0.0.1", 0,
+                                    batching=batching, max_batch=16,
+                                    max_wait_ms=10.0,
+                                    warmup_seconds=(args.seconds,))
+        warmup_s = time.perf_counter() - t0
+        print(f"batching={batching} warmup {warmup_s:.1f}s", flush=True)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        levels = []
+        for concurrency in (1, 8, 32):
+            levels.append(run_level(port, body, boundary, concurrency,
+                                    args.requests, args.seconds))
+            print(f"batching={batching} {levels[-1]}", flush=True)
+        server.shutdown()
+        report["modes"]["batched" if batching else "serial"] = levels
+        mode = "batched" if batching else "serial"
+        report["modes"][mode + "_warmup_s"] = round(warmup_s, 1)
+
+    out = Path(__file__).resolve().parents[1] / "SERVING_BENCH.json"
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps({"wrote": str(out)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,11 @@ def test_http_server_contract(checkpoint_dir, wav_path):
     tr = AsrTranslator(checkpoint_dir)
     expected = tr.translate(wav_path)
 
-    server = make_stdlib_server(tr, "127.0.0.1", 0, batching=True, max_wait_ms=10)
+    # warmup_seconds pre-compiles the (batch, bucket) ladder the server
+    # will hit — the production cold-start path
+    server = make_stdlib_server(tr, "127.0.0.1", 0, batching=True,
+                                max_wait_ms=10, max_batch=2,
+                                warmup_seconds=(1.0,))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -153,3 +157,17 @@ def read_audio_short(path):
     from lightning_asr_tpu.data.audio import read_audio
 
     return read_audio(path, mono=True)[0][0]
+
+
+def test_batch_dim_bucketing(checkpoint_dir):
+    """transcribe_batch pads the batch dim to a power of two (compile reuse
+    for arbitrary caller batch sizes, e.g. the serving DynamicBatcher) and
+    trims outputs — an odd-size batch must match per-utterance results."""
+    rng = np.random.default_rng(2)
+    waves = [(rng.standard_normal(16000 + 777 * i) * 0.1).astype(np.float32)
+             for i in range(3)]
+    tr = AsrTranslator(checkpoint_dir)
+    batched = tr.transcribe_batch(waves)
+    assert len(batched) == 3
+    singles = [tr.transcribe_batch([w])[0] for w in waves]
+    assert batched == singles
