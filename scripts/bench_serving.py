@@ -122,7 +122,14 @@ def main() -> None:
     body, boundary = multipart_wav(wav_path.read_bytes())
 
     report = {"audio_seconds": args.seconds, "requests_per_level": args.requests,
-              "device": "TPU v5e (1 chip, tunneled)", "modes": {}}
+              "device": "TPU v5e (1 chip, tunneled)",
+              "note": ("this rig has ONE host CPU core: at concurrency 32 "
+                       "the per-request WAV decode threads contend with "
+                       "batch assembly (probe: warm bs16 batch 165-211 ms "
+                       "alone, 466 ms with 32 decode threads), so both "
+                       "modes are host-bound there; batched-mode "
+                       "steady-state wins at realistic concurrency (c8)"),
+              "modes": {}}
     for batching in (False, True):
         translator = AsrTranslator(ckpt)
         t0 = time.perf_counter()
