@@ -121,10 +121,17 @@ def serve(
     port: int = 5000,
     translator: Optional[AsrTranslator] = None,
     use_flask: Optional[bool] = None,
+    batching: bool = False,
+    max_batch: int = 8,
+    max_wait_ms: float = 20.0,
+    warmup_seconds: Optional[Sequence[float]] = None,
 ):
-    """Start the server (blocking)."""
+    """Start the server (blocking).
+
+    ``batching``/``warmup_seconds`` use the stdlib server (the Flask app,
+    like the reference's, serves requests independently)."""
     translator = translator or AsrTranslator(model_path)
-    if use_flask is None:
+    if use_flask is None and not batching and not warmup_seconds:
         try:
             import flask  # noqa: F401
 
@@ -136,7 +143,10 @@ def serve(
         create_flask_app(translator).run(host=host, port=port)
         return
 
-    make_stdlib_server(translator, host, port).serve_forever()
+    make_stdlib_server(
+        translator, host, port, batching=batching, max_batch=max_batch,
+        max_wait_ms=max_wait_ms, warmup_seconds=warmup_seconds,
+    ).serve_forever()
 
 
 def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
@@ -183,3 +193,37 @@ def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
             logger.info("server: " + fmt, *args)
 
     return ThreadingHTTPServer((host, port), Handler)
+
+
+def _main() -> None:
+    """``python -m lightning_asr_tpu.inference.server`` — the reference
+    runs its Flask app the same way (``/root/reference/server/app.py``);
+    ours adds dynamic batching + compile-ladder warmup flags."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True,
+                    help="checkpoint dir (as written by CheckpointManager)")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--batching", action="store_true",
+                    help="collect concurrent requests into device batches")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--warmup-seconds", type=float, nargs="*", default=None,
+                    help="pre-compile the (batch, bucket) ladder for these "
+                         "request durations at startup (a cold server "
+                         "otherwise answers its first burst at XLA-compile "
+                         "latency)")
+    ap.add_argument("--flask", action="store_true", default=None,
+                    help="force the Flask app (default: auto when installed "
+                         "and no batching/warmup requested)")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    serve(args.model, host=args.host, port=args.port, use_flask=args.flask,
+          batching=args.batching, max_batch=args.max_batch,
+          max_wait_ms=args.max_wait_ms, warmup_seconds=args.warmup_seconds)
+
+
+if __name__ == "__main__":
+    _main()

@@ -170,3 +170,21 @@ def test_train_ssl_retrain_cli_wiring(tiny_corpus, tmp_path, monkeypatch):
     assert captured.get("fit_called")
     assert captured["model"].feat_extract_norm == "layer"
     assert captured["hparams"]["ssl_retrain"] is True
+
+
+def test_server_cli_wiring(monkeypatch):
+    """``python -m lightning_asr_tpu.inference.server`` parses flags and
+    forwards them to serve() (README/MIGRATING advertise this entry)."""
+    import lightning_asr_tpu.inference.server as srv
+
+    captured = {}
+    monkeypatch.setattr(srv, "serve", lambda model, **kw: captured.update(
+        {"model": model, **kw}))
+    monkeypatch.setattr(sys, "argv", [
+        "server", "--model", "/tmp/ck", "--port", "5005", "--batching",
+        "--max-batch", "16", "--max-wait-ms", "5",
+        "--warmup-seconds", "2.0", "5.0"])
+    srv._main()
+    assert captured == {"model": "/tmp/ck", "host": "0.0.0.0", "port": 5005,
+                        "use_flask": None, "batching": True, "max_batch": 16,
+                        "max_wait_ms": 5.0, "warmup_seconds": [2.0, 5.0]}
