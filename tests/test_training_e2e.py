@@ -102,6 +102,40 @@ def test_resume_continues(corpus, tmp_path):
     assert int(state.step) == 4  # epoch 0 (2 steps) + resumed epoch 1 (2 steps)
 
 
+def test_chunked_resume_matches_monolithic(corpus, tmp_path):
+    """The chunked-resume discipline (scripts/convergence_loop.sh) must be a
+    no-op numerically: stopping after epoch 0 via should_stop and resuming
+    from 'last' must reproduce the monolithic 2-epoch run bit-for-bit.
+    Holds because data order is epoch-seeded (trainer.py:296,311), the
+    augment RNG folds in state.step (steps.py), and the checkpoint restores
+    optimizer state + step exactly."""
+    mono = make_trainer(corpus, tmp_path / "mono", total_epochs=2)
+    mono_state = mono.fit()
+
+    chunk1 = make_trainer(corpus, tmp_path / "chunk", total_epochs=2)
+
+    from lightning_asr_tpu.training.callbacks import Callback
+
+    class StopAfterFirstEpoch(Callback):
+        def on_train_epoch_end(self, trainer, state, epoch):
+            trainer.should_stop = True
+
+    chunk1.callbacks.append(StopAfterFirstEpoch())
+    chunk1.fit()
+
+    chunk2 = make_trainer(corpus, tmp_path / "chunk", total_epochs=2)
+    resumed_state = chunk2.fit(resume="last")
+
+    assert int(resumed_state.step) == int(mono_state.step) == 4
+    for a, b in zip(jax.tree.leaves(mono_state.params),
+                    jax.tree.leaves(resumed_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(mono_state.opt_state),
+                    jax.tree.leaves(resumed_state.opt_state)):
+        if hasattr(a, "shape"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_loss_decreases_single_batch(corpus, tmp_path):
     """Overfit-ability smoke: loss on a repeated batch should drop."""
     trainer = make_trainer(corpus, tmp_path, total_epochs=1)
