@@ -40,14 +40,23 @@ class AsrDataModule:
         pseudo_manifest=None,
         pseudo_max_duration: float = 16.7,
         cache: Optional[str] = None,
+        cache_dir: Optional[Union[str, Path]] = None,
     ):
         """``cache='ram'`` enables the decode-once waveform cache: every wav
         is decoded a single time (int16, exact for PCM16) and later epochs
         slice crops straight from RAM — the cached-dataset mode for
         steady-state epoch throughput (the dict is owned here because
-        batchers are rebuilt per epoch)."""
-        if cache not in (None, "ram"):
-            raise ValueError(f"cache must be None or 'ram', got {cache!r}")
+        batchers are rebuilt per epoch).
+
+        ``cache='mmap'`` is the persistent variant: decoded waveforms live in
+        a packed memory-mapped file (``cache_dir``, default
+        ``<train manifest dir>/_lasr_wave_cache``), so a fresh process —
+        a chunked-resume restart of a long run, or a second training job on
+        the same corpus — pays zero decode, and corpora far larger than host
+        RAM (960 h is ~110 GB int16) stream through the OS page cache.  See
+        ``wave_cache.MmapWaveCache``."""
+        if cache not in (None, "ram", "mmap"):
+            raise ValueError(f"cache must be None, 'ram' or 'mmap', got {cache!r}")
         self.vocab = Vocabulary.from_config(labels)
         self.train_manifest = _as_list(train_manifest)
         self.dev_manifest = _as_list(dev_manifest)
@@ -67,7 +76,16 @@ class AsrDataModule:
         self.pseudo_manifest = _as_list(pseudo_manifest)
         self.pseudo_max_duration = pseudo_max_duration
         self.unlabeled_entries: List[ManifestEntry] = []
-        self._wave_cache: Optional[dict] = {} if cache == "ram" else None
+        if cache == "mmap":
+            from .wave_cache import MmapWaveCache
+
+            if cache_dir is None:
+                base = Path(self.train_manifest[0]).parent if self.train_manifest \
+                    else Path(".")
+                cache_dir = base / "_lasr_wave_cache"
+            self._wave_cache = MmapWaveCache(cache_dir)
+        else:
+            self._wave_cache = {} if cache == "ram" else None
         self._setup_done = False
 
     def setup(self) -> None:

@@ -168,3 +168,173 @@ def test_ram_cache_python_fallback(corpus, monkeypatch):
     total = sum(b.size for b in batcher)
     assert total == 8 and len(cache) == 8
     assert all(w.dtype == np.int16 for w in cache.values())
+
+
+def test_mmap_cache_matches_ram_and_survives_restart(corpus, tmp_path):
+    """cache='mmap' (wave_cache.MmapWaveCache) must serve byte-identical
+    batches to the RAM dict, and a FRESH instance (= a chunked-resume
+    restart of a long run) must serve them with zero decode."""
+    from lightning_asr_tpu.data.wave_cache import MmapWaveCache
+
+    entries = read_manifests(corpus, 16.7)
+    vocab = Vocabulary(LABELS)
+    kw = dict(batch_size=2, train=False, bucket_seconds=(1.0, 2.0, 4.0),
+              crop=False)
+    ram: dict = {}
+    mm = MmapWaveCache(tmp_path / "wc")
+    ram_batches = list(BucketBatcher(entries, vocab, wave_cache=ram, **kw))
+    mm_batches = list(BucketBatcher(entries, vocab, wave_cache=mm, **kw))
+    for br, bm in zip(ram_batches, mm_batches):
+        assert br.paths == bm.paths
+        np.testing.assert_array_equal(br.waves, bm.waves)
+        np.testing.assert_array_equal(br.wave_lens, bm.wave_lens)
+    assert len(mm) == 8
+
+    # restart: fresh instance, decode forbidden (native loader + python
+    # reader both booby-trapped) — everything must come from the mmap file
+    import lightning_asr_tpu.data.pipeline as pl
+    import lightning_asr_tpu.native as native
+    from unittest import mock
+
+    mm.close()
+    mm2 = MmapWaveCache(tmp_path / "wc")
+    assert len(mm2) == 8
+    with mock.patch.object(native, "load_wav_batch",
+                           side_effect=AssertionError("decoded on restart")), \
+         mock.patch.object(pl, "read_audio",
+                           side_effect=AssertionError("decoded on restart")):
+        again = list(BucketBatcher(entries, vocab, wave_cache=mm2, **kw))
+    for br, ba in zip(ram_batches, again):
+        np.testing.assert_array_equal(br.waves, ba.waves)
+
+
+def test_mmap_cache_crash_safety(corpus, tmp_path):
+    """A torn/overrun index tail (crash mid-append) must be dropped on
+    reopen and the lost utterances re-decoded into consistent positions."""
+    import json as json_mod
+
+    from lightning_asr_tpu.data.wave_cache import MmapWaveCache
+
+    d = tmp_path / "wc"
+    mm = MmapWaveCache(d)
+    rng = np.random.default_rng(0)
+    w1 = (rng.standard_normal(100) * 1000).astype(np.int16)
+    w2 = (rng.standard_normal(150) * 1000).astype(np.int16)
+    mm["a"] = w1
+    mm["b"] = w2
+    mm.close()
+
+    # simulate: index line written but samples lost (truncate the bin), plus
+    # a torn final line
+    with open(d / "waves.bin", "r+b") as f:
+        f.truncate(100 * 2)  # drop w2's samples
+    with open(d / "index.jsonl", "a") as f:
+        f.write('{"p": "c", "o"')  # torn write
+
+    mm2 = MmapWaveCache(d)
+    assert "a" in mm2 and "b" not in mm2 and "c" not in mm2
+    np.testing.assert_array_equal(mm2["a"], w1)
+    mm2["b"] = w2  # re-decode appends cleanly
+    np.testing.assert_array_equal(mm2["b"], w2)
+    mm2.close()
+    mm3 = MmapWaveCache(d)
+    np.testing.assert_array_equal(mm3["b"], w2)
+    assert json_mod.loads((d / "index.jsonl").read_text().splitlines()[-1])["p"] == "b"
+
+
+def test_mmap_cache_rejects_non_int16(tmp_path):
+    from lightning_asr_tpu.data.wave_cache import MmapWaveCache
+
+    mm = MmapWaveCache(tmp_path / "wc")
+    with pytest.raises(TypeError):
+        mm["x"] = np.zeros(4, np.float32)
+
+
+def test_datamodule_mmap_cache_wiring(corpus, tmp_path):
+    """AsrDataModule(cache='mmap') builds the persistent cache next to the
+    manifest (or at cache_dir) and batches equal the cache=None path."""
+    from lightning_asr_tpu.data import AsrDataModule
+
+    dm_plain = AsrDataModule(train_manifest=str(corpus), dev_manifest=str(corpus),
+                             labels=LABELS, train_bs=2, dev_bs=2,
+                             bucket_seconds=(1.0, 2.0, 4.0), crop=False)
+    dm_mm = AsrDataModule(train_manifest=str(corpus), dev_manifest=str(corpus),
+                          labels=LABELS, train_bs=2, dev_bs=2,
+                          bucket_seconds=(1.0, 2.0, 4.0), crop=False,
+                          cache="mmap", cache_dir=tmp_path / "wc")
+    for bp, bm in zip(dm_plain.val_dataloader(), dm_mm.val_dataloader()):
+        np.testing.assert_array_equal(bp.waves, bm.waves)
+    assert (tmp_path / "wc" / "waves.bin").exists()
+    with pytest.raises(ValueError):
+        AsrDataModule(train_manifest=str(corpus), labels=LABELS, cache="disk")
+
+
+def test_mmap_cache_orphaned_tail(tmp_path):
+    """Samples flushed whose index line never landed (crash inside
+    __setitem__) must be truncated on reopen — otherwise every later append
+    writes at the physical end of the bin but is indexed at _end, shifting
+    all subsequent reads (found by review: reads returned garbage)."""
+    from lightning_asr_tpu.data.wave_cache import MmapWaveCache
+
+    d = tmp_path / "wc"
+    mm = MmapWaveCache(d)
+    w1 = np.arange(100, dtype=np.int16)
+    mm["a"] = w1
+    mm.close()
+    # orphaned tail: samples hit the disk, index line did not
+    with open(d / "waves.bin", "ab") as f:
+        f.write(np.full(50, 7, np.int16).tobytes())
+
+    mm2 = MmapWaveCache(d)
+    w2 = np.arange(1000, 1150, dtype=np.int16)
+    mm2["b"] = w2
+    np.testing.assert_array_equal(mm2["a"], w1)
+    np.testing.assert_array_equal(mm2["b"], w2)
+    mm2.close()
+    mm3 = MmapWaveCache(d)  # and after a reopen
+    np.testing.assert_array_equal(mm3["b"], w2)
+
+
+def test_cached_decode_native_runtime_error_falls_back(corpus, monkeypatch):
+    """The cached path must fall back to the python reader on RuntimeError
+    (native decode refusal) with the same breadth as the non-cached path."""
+    import lightning_asr_tpu.native as native
+
+    monkeypatch.setattr(native, "load_wav_batch",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("native decode failed")))
+    entries = read_manifests(corpus, 16.7)
+    vocab = Vocabulary(LABELS)
+    cache: dict = {}
+    batcher = BucketBatcher(entries, vocab, batch_size=2, train=False,
+                            bucket_seconds=(1.0, 2.0, 4.0), crop=False,
+                            wave_cache=cache)
+    assert sum(b.size for b in batcher) == 8 and len(cache) == 8
+
+
+def test_cached_decode_full_file_despite_understated_duration(tmp_path):
+    """A manifest row that understates a file's duration must not freeze a
+    truncated waveform into the cache: a second row with the true duration
+    (same path) must still see the full samples (native loader clamps at
+    the buffer, so a full buffer triggers a true-length re-decode)."""
+    rng = np.random.default_rng(0)
+    n_true = int(16000 * 1.9)
+    wave = (rng.standard_normal(n_true) * 0.1).astype(np.float32)
+    path = tmp_path / "long.wav"
+    write_wav(path, wave[None], 16000)
+    manifest = tmp_path / "m.json"
+    with open(manifest, "w") as f:
+        # row A understates (0.5 s); row B states the true duration
+        f.write(json.dumps({"audio_filepath": str(path), "duration": 0.5,
+                            "text": "ab"}) + "\n")
+        f.write(json.dumps({"audio_filepath": str(path), "duration": 1.9,
+                            "text": "ab"}) + "\n")
+    entries = read_manifests(manifest, 16.7)
+    vocab = Vocabulary(LABELS)
+    kw = dict(batch_size=1, train=False, bucket_seconds=(1.0, 2.0), crop=False)
+    plain = list(BucketBatcher(entries, vocab, **kw))
+    cached = list(BucketBatcher(entries, vocab, wave_cache={}, **kw))
+    assert len(plain) == len(cached) == 2
+    for bp, bc in zip(plain, cached):
+        np.testing.assert_array_equal(bp.waves, bc.waves)
+        np.testing.assert_array_equal(bp.wave_lens, bc.wave_lens)

@@ -57,6 +57,7 @@ def main(argv=None) -> None:
         bucket_seconds=data_cfg.get("bucket_seconds"),
         prefetch_depth=data_cfg.get("prefetch_depth", 2),
         cache=data_cfg.get("cache"),
+        cache_dir=data_cfg.get("cache_dir"),
     )
 
     import jax.numpy as jnp
