@@ -303,9 +303,20 @@ class BucketBatcher:
                         f"{m_paths[int(np.argmax(bad_sr))]}: sample rate "
                         f"{int(srs[bad_sr][0])} != {self.sample_rate}")
                 for j, p in enumerate(m_paths):
-                    self.wave_cache[p] = waves[j, : lens[j]].copy()
-            except (ImportError, OSError) as exc:
-                del exc  # fall back to the python reader
+                    if lens[j] >= max_n:
+                        # buffer completely full: the native loader CLAMPS
+                        # (it cannot report the true length), so the file may
+                        # be longer than the manifest duration promised —
+                        # re-decode this one at true length so the cache
+                        # never freezes a silent truncation
+                        samples, _ = read_audio(p, mono=True)
+                        self.wave_cache[p] = np.round(
+                            samples[0] * 32768.0).clip(-32768, 32767).astype(np.int16)
+                    else:
+                        self.wave_cache[p] = waves[j, : lens[j]].copy()
+            except (ImportError, OSError, RuntimeError) as exc:
+                del exc  # fall back to the python reader (same breadth as
+                # the non-cached path: RuntimeError = native decode refusal)
                 for p in m_paths:
                     samples, sr = read_audio(p, mono=True)
                     if sr != self.sample_rate:

@@ -233,8 +233,14 @@ class AsrTranslator:
         single-stream eager torch, ``/root/reference/server/app.py``.)"""
         sizes = []
         b = 1
-        while b <= max(1, max_batch):
+        # cover the padded shape of EVERY batch size the DynamicBatcher can
+        # emit: transcribe_batch pads to the next power of two, so a
+        # non-power-of-two max_batch (say 12) still produces Bp=16 batches —
+        # warm through the power of two >= max_batch, not just <= it
+        while True:
             sizes.append(b)
+            if b >= max(1, max_batch):
+                break
             b <<= 1
         buckets = sorted({self._bucket_len(int(s * self.frontend.sample_rate))
                           for s in seconds})

@@ -173,7 +173,10 @@ def main() -> None:
         test_manifest=str(dev_manifest), labels=LABELS,
         train_bs=args.batch_size, dev_bs=args.batch_size,
         bucket_seconds=(3.0, 5.0, 7.0, 9.0, 12.0),
-        cache="ram",  # decode once; epochs 1+ slice crops from RAM
+        # decode once EVER: the persistent mmap cache survives the
+        # chunked-resume restarts this script is driven by (the RAM cache
+        # re-decoded the whole corpus every ~16-epoch chunk)
+        cache="mmap",
     )
     model = build_model(num_classes=len(LABELS) + 1, mask=True, dtype=jnp.bfloat16)
     steps_per_epoch = dm.steps_per_epoch()
@@ -214,7 +217,11 @@ def main() -> None:
     def current_lr(trainer) -> float:
         if schedule is not None:
             return float(schedule(max(trainer.global_step - 1, 0)))
-        return float(plateau.lr)
+        # plateau arm: on_validation_end fires AFTER plateau.step() has
+        # already applied any reduction, so plateau.lr at that point is the
+        # NEXT epoch's lr — report the lr this epoch actually trained with
+        # (stashed at train-epoch end, before validation)
+        return float(getattr(trainer, "_epoch_train_lr", plateau.lr))
 
     def write_report() -> None:
         run_report = {
@@ -272,6 +279,8 @@ def main() -> None:
             write_report()  # incremental: a partial run is still evidence
 
         def on_train_epoch_end(self, state, epoch):
+            if plateau is not None:
+                self._epoch_train_lr = float(plateau.lr)
             self.epochs_this_process += 1
             if chunk and self.epochs_this_process >= chunk:
                 # fit() validates + checkpoints this epoch before honoring

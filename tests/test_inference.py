@@ -171,3 +171,18 @@ def test_batch_dim_bucketing(checkpoint_dir):
     assert len(batched) == 3
     singles = [tr.transcribe_batch([w])[0] for w in waves]
     assert batched == singles
+
+
+def test_warmup_covers_padded_max_batch(checkpoint_dir):
+    """transcribe_batch pads to the NEXT power of two, so warmup must
+    compile through pow2(max_batch) — a non-power-of-two max_batch (12)
+    otherwise leaves the Bp=16 shape cold and the first full burst stalls
+    at XLA-compile latency (found by review)."""
+    tr = AsrTranslator(checkpoint_dir)
+    seen = []
+    tr.transcribe_batch = lambda waves, **kw: seen.append(len(waves))
+    tr.warmup(seconds=(1.0,), max_batch=12)
+    assert max(seen) >= 16, seen
+    seen.clear()
+    tr.warmup(seconds=(1.0,), max_batch=8)  # exact power of two: no overshoot
+    assert max(seen) == 8, seen
