@@ -151,6 +151,16 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
         self._n_procs = jax.process_count()
+        # Multi-process: every newly compiled executable's FIRST collective
+        # runs a key-value exchange with a hard ~30 s deadline (gloo on CPU;
+        # similar rendezvous on TPU pods), but big-graph compiles can skew
+        # processes by minutes under host load — observed as `Gloo context
+        # initialization failed: DEADLINE_EXCEEDED: GetKeyValue()` in the
+        # 2-process test.  So in multi-process mode train steps are compiled
+        # ahead-of-time per batch shape and a coordination-service barrier
+        # (NOT a collective) aligns all processes before the first execution
+        # of each new executable; see _run_train_step.
+        self._aot_train_steps: dict = {}
         if self._n_procs > 1:
             self._check_shard_layout()
 
@@ -265,6 +275,37 @@ class Trainer:
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return state.replace(opt_state=opt_state)
 
+    def _run_train_step(self, state, dev_batch, rng):
+        """Execute one train step; in multi-process mode, compile new batch
+        shapes ahead-of-time and barrier (coordination service) before their
+        first execution so every process reaches the collective's context
+        init together regardless of compile-time skew."""
+        if self._n_procs == 1:
+            return self._train_step(state, dev_batch, rng)
+        key = (dev_batch["waves"].shape, dev_batch["waves"].dtype.name,
+               dev_batch["targets"].shape)
+        exe = self._aot_train_steps.get(key)
+        if exe is None:
+            exe = self._train_step.lower(state, dev_batch, rng).compile()
+            self._coordination_barrier(f"lasr_step_exe_{len(self._aot_train_steps)}")
+            self._aot_train_steps[key] = exe
+        return exe(state, dev_batch, rng)
+
+    def _coordination_barrier(self, name: str, timeout_ms: int = 3_600_000) -> None:
+        """Block until every process reaches `name` — via the coordination
+        service (no device collective, so no gloo/ICI context is created and
+        no 30 s exchange deadline applies). Best-effort: a runtime without a
+        coordination client (single process) is a no-op."""
+        try:
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            if client is not None:
+                client.wait_at_barrier(name, timeout_ms)
+        except ImportError:  # pragma: no cover - private API moved
+            logger.warning("no coordination barrier available; relying on "
+                           "collective-init deadline not being hit")
+
     # Hook for subclasses (e.g. the SSL pseudo-labeling trainer).
     def on_validation_end(self, state, epoch, val_metrics) -> None:
         pass
@@ -314,7 +355,7 @@ class Trainer:
         n_batches = 0
         for i, (batch, dev_batch) in enumerate(batch_iter):
             with self.profiler.profile("train_step"):
-                state, metrics = self._train_step(state, dev_batch, self.rng)
+                state, metrics = self._run_train_step(state, dev_batch, self.rng)
             audio_seconds += batch.audio_seconds
             n_batches += 1
             # host-side step counter: fetching state.step would force a
