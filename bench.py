@@ -136,6 +136,43 @@ def main() -> None:
     # epoch-mix rate: total audio / total time = 1 / sum(w_b / rate_b)
     weighted = 1.0 / sum(w / per_bucket[s] for s, w in SWEEP)
 
+    # MFU at the headline point: whole-train-step FLOPs from XLA's cost
+    # analysis (fwd+bwd+NovoGrad, everything in the jitted graph) divided by
+    # measured step time and chip peak (v5e bf16 ~197 TFLOP/s; override
+    # LASR_PEAK_TFLOPS for other parts).  Small-channel conv+recurrence nets
+    # are bandwidth-shaped, so this contextualizes the audio-sec/s number.
+    mfu = None
+    try:
+        import os
+
+        from lightning_asr_tpu.training.steps import (create_train_state,
+                                                      make_train_step)
+
+        S = int(16.7 * 16000)
+        L = max(int(16.7 * CHARS_PER_SEC), 4)
+        rng_np = np.random.default_rng(0)
+        batch = {
+            "waves": (rng_np.standard_normal((32, S)) * 0.1).astype(np.float32),
+            "wave_lens": np.full((32,), S, np.int32),
+            "prev_samples": np.zeros((32,), np.float32),
+            "targets": rng_np.integers(0, 28, size=(32, L)).astype(np.int32),
+            "target_lens": np.full((32,), L, np.int32),
+        }
+        state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
+                                   feature_shape=(1, 320, 64))
+        step = jax.jit(make_train_step(model, optimizer, blank_id=28,
+                                       frontend=frontend, augment=True))
+        cost = step.lower(state, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", float("nan")))
+        peak = float(os.environ.get("LASR_PEAK_TFLOPS", "197")) * 1e12
+        flops_per_sec = step_flops * headline / (32 * 16.7)
+        if np.isfinite(step_flops) and step_flops > 0:
+            mfu = round(flops_per_sec / peak, 4)
+    except Exception:
+        pass  # cost analysis unsupported on some backends; mfu stays null
+
     baseline = 960 * 3600 / (50 * 60.0)  # ≈1152 audio-sec/sec (RTX 2060, 960h)
     print(json.dumps({
         "metric": "train_throughput_audio_sec_per_sec_per_chip",
@@ -150,6 +187,7 @@ def main() -> None:
             (b if isinstance(b, str) else f"bs{b}"):
                 (round(v, 1) if isinstance(v, float) else v)
             for b, v in large_batch.items()},
+        "mfu_headline": mfu,
     }))
 
 
