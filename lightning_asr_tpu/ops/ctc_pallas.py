@@ -198,6 +198,7 @@ def _ctc_from_emit(emit, skip, lens2d, final, valid_b):
 
 
 _CT = 32  # time steps per grid block; T is padded to a multiple of this
+_MAX_B_SPAD = 16384  # B * S_pad ceiling per kernel call (see ctc_loss_pallas)
 
 
 def _pick_ct(T: int) -> int:
@@ -288,6 +289,18 @@ def ctc_loss_pallas(
     L = targets.shape[1]
     S = 2 * L + 1
     S_pad = _round_up(S, 128)
+    if B * S_pad > _MAX_B_SPAD:
+        # Batch-tile oversized lattices: alpha-beta grids past this size
+        # blow the 16 MB scoped-VMEM stack in the Mosaic AOT compile on
+        # v5e (observed at T_pad=864: 42x512 tiles fail, 32x512 compile
+        # and run).  Per-sample losses are independent, so slicing the
+        # batch is exact; grads flow through the concat.
+        size = max(B // -(-B * S_pad // _MAX_B_SPAD), 1)
+        return jnp.concatenate([
+            ctc_loss_pallas(log_probs[i:i + size], input_lengths[i:i + size],
+                            targets[i:i + size], target_lengths[i:i + size],
+                            blank_id)
+            for i in range(0, B, size)], axis=0)
 
     ext = jnp.full((B, S_pad), blank_id, jnp.int32)
     ext = ext.at[:, 1:S:2].set(targets.astype(jnp.int32))

@@ -42,6 +42,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 _CT = 32  # time steps per grid block
+_MAX_B = 32  # batch rows per kernel call (BPTT scoped-VMEM cap; see lstm_pallas)
 
 
 def _gates(xp_row, h, whh):
@@ -398,6 +399,14 @@ def lstm_pallas(
     A bf16 in-loop matmul variant (``matmul_dtype=bf16``) measured neutral
     on v5e."""
     B, T, _ = x.shape
+    if B > _MAX_B:
+        # Batch-tile oversized calls: the BPTT kernel's scoped-VMEM stack
+        # scales with B and blows the 16 MB limit at B=64 (T~836, C=256:
+        # 20.06M requested).  Rows are independent, so slicing is exact.
+        return jnp.concatenate([
+            lstm_pallas(x[i:i + _MAX_B], lengths[i:i + _MAX_B], forward,
+                        backward, matmul_dtype, fuse_directions)
+            for i in range(0, B, _MAX_B)], axis=0)
     Tn = _round_up(T, _CT)
 
     def prep(w: LSTMWeights, reverse: bool):

@@ -80,3 +80,28 @@ def test_pallas_odd_T_padding():
     out = np.asarray(ctc_loss_pallas(jnp.asarray(lp), jnp.asarray(il),
                                      jnp.asarray(tg), jnp.asarray(tl), blank_id=blank))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_tiling_matches_untiled(monkeypatch):
+    """Oversized B*S_pad lattices are split along batch (the Mosaic AOT
+    compile crashes past ~24k on v5e); the tiled result must equal the
+    untiled one exactly (per-sample independence)."""
+    import lightning_asr_tpu.ops.ctc_pallas as cp
+
+    rng = np.random.default_rng(3)
+    B, T, C, L = 8, 48, 12, 10
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32)))
+    tl = jnp.asarray(np.r_[T, rng.integers(T // 2, T, B - 1)].astype(np.int32))
+    tgt = jnp.asarray(rng.integers(0, C - 1, (B, L)).astype(np.int32))
+    tgl = jnp.asarray(np.r_[L, rng.integers(1, L, B - 1)].astype(np.int32))
+
+    def run(lp):
+        return cp.ctc_loss_pallas(lp, tl, tgt, tgl, C - 1)
+
+    whole, g_whole = jax.value_and_grad(lambda lp: run(lp).sum())(logp)
+    monkeypatch.setattr(cp, "_MAX_B_SPAD", 3 * 128)  # force ~3-way split
+    tiled, g_tiled = jax.value_and_grad(lambda lp: run(lp).sum())(logp)
+    np.testing.assert_allclose(float(whole), float(tiled), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_whole), np.asarray(g_tiled),
+                               atol=1e-6)

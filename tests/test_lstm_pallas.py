@@ -101,3 +101,36 @@ def test_lstm_pallas_fused_bidir_grads_match_scan():
 
     for r, o in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_out)):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-4, atol=1e-5)
+
+
+def test_batch_tiling_matches_untiled(monkeypatch):
+    """B above _MAX_B splits into per-kernel batch tiles (the BPTT kernel's
+    scoped VMEM blows the 16 MB limit at B=64 on v5e); tiled forward AND
+    gradients must equal the untiled computation exactly."""
+    import importlib
+
+    lp = importlib.import_module("lightning_asr_tpu.ops.lstm_pallas")
+
+    rng = np.random.default_rng(5)
+    B, T, C, H = 6, 20, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 0.3)
+    lens = jnp.asarray(np.r_[T, rng.integers(2, T, B - 1)].astype(np.int32))
+
+    def w():
+        return LSTMWeights(
+            jnp.asarray(rng.standard_normal((4 * H, C)).astype(np.float32) * 0.2),
+            jnp.asarray(rng.standard_normal((4 * H, H)).astype(np.float32) * 0.2),
+            jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.1),
+            jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.1),
+        )
+
+    fw, bw = w(), w()
+
+    def run(xx):
+        return lp.lstm_pallas(xx, lens, fw, bw).sum()
+
+    whole, g_whole = jax.value_and_grad(run)(x)
+    monkeypatch.setattr(lp, "_MAX_B", 2)  # force a 3-way split
+    tiled, g_tiled = jax.value_and_grad(run)(x)
+    np.testing.assert_allclose(float(whole), float(tiled), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_whole), np.asarray(g_tiled), atol=1e-6)
