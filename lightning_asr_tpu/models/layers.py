@@ -34,6 +34,7 @@ from jax import lax
 
 from ..ops.lstm import LSTMWeights, lstm
 from ..ops.sepconv_pallas import sepconv, sepconv_pallas_enabled
+from ..parallel.tp import shard_trunk_activations
 
 
 def torch_uniform_init(fan_in: int):
@@ -123,6 +124,11 @@ class SepConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
+        # tensor parallelism: pin channel sharding on the grouped conv's
+        # input — REQUIRED for a correct weight gradient on >=2-D meshes,
+        # not just a perf hint (see parallel/tp.py GSPMD sharp edge);
+        # identity when no tp mesh is registered
+        x = shard_trunk_activations(x)
         if self.dilation > 1:
             pad = (self.dilation * self.k) // 2 - 1
         else:
@@ -194,6 +200,7 @@ class SepConvSE(SepConv):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, percents: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = shard_trunk_activations(x)  # see SepConv / parallel/tp.py
         pad = (self.dilation * self.k) // 2 - 1 if self.dilation > 1 else self.k // 2
         x = nn.Conv(self.in_ch, (self.k,), strides=(self.stride,), padding=((pad, pad),),
                     feature_group_count=self.in_ch, kernel_dilation=(self.dilation,),

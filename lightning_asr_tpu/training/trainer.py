@@ -150,6 +150,16 @@ class Trainer:
         )
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
+        # Tensor parallelism: a mesh with a >1 'model' axis shards the conv
+        # trunk per parallel/tp.py; on a 1-D (or model=1) mesh _place_state
+        # degenerates to full replication, the DDP-analog default.
+        self._tp = int(self.mesh.shape.get("model", 1))
+        # register (or clear) the activation-layout pin BEFORE the step
+        # traces — grouped-conv wgrads are miscompiled on >=2-D meshes
+        # without it (parallel/tp.py)
+        from ..parallel.tp import set_tp_mesh
+
+        set_tp_mesh(self.mesh)
         self._n_procs = jax.process_count()
         # Multi-process: every newly compiled executable's FIRST collective
         # runs a key-value exchange with a hard ~30 s deadline (gloo on CPU;
@@ -188,6 +198,15 @@ class Trainer:
         state = create_train_state(
             self.model, self.optimizer, self.rng, feature_shape=(1, 320, feat_dim)
         )
+        return self._place_state(state)
+
+    def _place_state(self, state: AsrTrainState) -> AsrTrainState:
+        """Replicated on a data-only mesh; conv trunk + its BN/momentum
+        sharded over the 'model' axis on a dp x tp mesh (parallel/tp.py)."""
+        if self._tp > 1:
+            from ..parallel.tp import shard_state
+
+            return shard_state(state, self.mesh)
         return jax.device_put(state, self._replicated)
 
     def _device_batch(self, batch: Batch) -> dict:
@@ -229,7 +248,7 @@ class Trainer:
         start_epoch = 0
         if resume:
             state, meta = self.checkpoints.restore(state, resume)
-            state = jax.device_put(state, self._replicated)
+            state = self._place_state(state)
             start_epoch = int(meta.get("epoch", -1)) + 1
             logger.info("resumed from %s at epoch %d", resume, start_epoch)
         self.global_step = int(state.step)

@@ -79,6 +79,12 @@ def main(argv=None) -> None:
     plateau = None
     betas = tuple(train_cfg.get("novograd_betas", (0.8, 0.5)))
     wd = float(train_cfg.get("weight_decay", 1e-3))
+    # tensor parallelism (train.tp): shard the conv trunk over a 'model'
+    # mesh axis (parallel/tp.py).  The per-tensor NovoGrad variant is
+    # required there — the fused flat-buffer layout has no channel
+    # structure to shard (see parallel/tp.py docstring).
+    tp = int(train_cfg.get("tp", 1))
+    fused_opt = tp <= 1
     if train_cfg.get("scheduler", "cosine_warmup_restarts") == "cosine_warmup_restarts":
         schedule = cosine_annealing_warmup_restarts(
             first_cycle_steps=max(total_epoch * steps_per_epoch, 2),
@@ -88,12 +94,13 @@ def main(argv=None) -> None:
             warmup_steps=train_cfg.get("warmup_steps", 1000),
             gamma=train_cfg.get("lr_gamma", 0.5),
         )
-        optimizer = novograd(schedule, betas=betas, weight_decay=wd)
+        optimizer = novograd(schedule, betas=betas, weight_decay=wd, fused=fused_opt)
     else:  # reduce_on_plateau recipe (the 16.4% train-100 run)
         from lightning_asr_tpu.optim import novograd_with_runtime_lr
 
         plateau = ReduceLROnPlateau(init_lr=lr)
-        optimizer = novograd_with_runtime_lr(lr, betas=betas, weight_decay=wd)
+        optimizer = novograd_with_runtime_lr(lr, betas=betas, weight_decay=wd,
+                                             fused=fused_opt)
         schedule = None
 
     run_dir = setup_run_dir(cfg, default="outputs/run")
@@ -115,7 +122,12 @@ def main(argv=None) -> None:
         augment=data_cfg.get("augment", True),
         freq_mask=data_cfg.get("freq_mask", 27),
         time_mask=data_cfg.get("time_mask", 0.07),
-        mesh=make_mesh(train_cfg.get("n_devices")),
+        mesh=(make_mesh(train_cfg.get("n_devices"))
+              if tp <= 1 else
+              make_mesh(train_cfg.get("n_devices"),
+                        axis_names=("data", "model"),
+                        shape=(-1, tp) if train_cfg.get("n_devices") is None
+                        else (train_cfg["n_devices"] // tp, tp))),
         seed=seed,
         plateau=plateau,
         device_cache=train_cfg.get("device_cache", False),
