@@ -54,12 +54,18 @@ CHARS_PER_SEC = 224 / 16.7  # reference-like transcript density
 
 
 def bench_bucket(model, optimizer, frontend, seconds: float, B: int = 32,
-                 n_windows: int = 3) -> float:
-    """Best-window throughput (audio-sec/sec) for one duration bucket."""
+                 n_windows: int = 3, num_classes: int = 29,
+                 chars_per_sec: float = CHARS_PER_SEC,
+                 want_cost: bool = False):
+    """Best-window throughput (audio-sec/sec) for one duration bucket.
+
+    With ``want_cost`` returns ``(rate, flops_per_step)`` using the SAME
+    jitted step (the lower/compile hits the in-process jit cache — no
+    second remote Mosaic compile)."""
     from lightning_asr_tpu.training.steps import create_train_state, make_train_step
 
     S = int(seconds * 16000)
-    L = max(int(seconds * CHARS_PER_SEC), 4)
+    L = max(int(seconds * chars_per_sec), 4)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, optimizer, rng, feature_shape=(1, 320, 64))
 
@@ -68,15 +74,26 @@ def bench_bucket(model, optimizer, frontend, seconds: float, B: int = 32,
         "waves": jax.device_put((rng_np.standard_normal((B, S)) * 0.1).astype(np.float32)),
         "wave_lens": jax.device_put(np.full((B,), S, np.int32)),
         "prev_samples": jax.device_put(np.zeros((B,), np.float32)),
-        "targets": jax.device_put(rng_np.integers(0, 28, size=(B, L)).astype(np.int32)),
+        "targets": jax.device_put(
+            rng_np.integers(0, num_classes - 1, size=(B, L)).astype(np.int32)),
         "target_lens": jax.device_put(np.full((B,), L, np.int32)),
     }
 
     train_step = jax.jit(
-        make_train_step(model, optimizer, blank_id=28, frontend=frontend,
-                        augment=True),
+        make_train_step(model, optimizer, blank_id=num_classes - 1,
+                        frontend=frontend, augment=True),
         donate_argnums=(0,),
     )
+
+    flops = None
+    if want_cost:
+        try:
+            cost = train_step.lower(state, batch, rng).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", float("nan")))
+        except Exception:
+            pass  # cost analysis unsupported on some backends
 
     # compile + warmup
     state, metrics = train_step(state, batch, rng)
@@ -94,7 +111,8 @@ def bench_bucket(model, optimizer, frontend, seconds: float, B: int = 32,
         jax.block_until_ready(metrics["loss"])
         float(jnp.sum(metrics["loss"]))  # force a real host sync
         best_dt = min(best_dt, time.perf_counter() - t0)
-    return B * seconds * n_steps / best_dt
+    rate = B * seconds * n_steps / best_dt
+    return (rate, flops) if want_cost else rate
 
 
 def main() -> None:
@@ -116,8 +134,13 @@ def main() -> None:
     frontend = MelFrontendConfig(precision="default")
 
     per_bucket = {}
+    headline_flops = None
     for seconds, _ in SWEEP:
-        per_bucket[seconds] = bench_bucket(model, optimizer, frontend, seconds)
+        if seconds == 16.7:  # capture step FLOPs from the same jitted step
+            per_bucket[seconds], headline_flops = bench_bucket(
+                model, optimizer, frontend, seconds, want_cost=True)
+        else:
+            per_bucket[seconds] = bench_bucket(model, optimizer, frontend, seconds)
 
     # beyond reference parity: the reference is locked to bs=32 by GPU
     # memory (/root/reference/conf/conf.yaml:24); larger batches amortize
@@ -137,41 +160,34 @@ def main() -> None:
     weighted = 1.0 / sum(w / per_bucket[s] for s, w in SWEEP)
 
     # MFU at the headline point: whole-train-step FLOPs from XLA's cost
-    # analysis (fwd+bwd+NovoGrad, everything in the jitted graph) divided by
-    # measured step time and chip peak (v5e bf16 ~197 TFLOP/s; override
-    # LASR_PEAK_TFLOPS for other parts).  Small-channel conv+recurrence nets
-    # are bandwidth-shaped, so this contextualizes the audio-sec/s number.
+    # analysis of the SAME compiled step the sweep timed (fwd+bwd+NovoGrad,
+    # everything in the jitted graph) divided by measured step time and chip
+    # peak (v5e bf16 ~197 TFLOP/s; override LASR_PEAK_TFLOPS for other
+    # parts).  Small-channel conv+recurrence nets are bandwidth-shaped, so
+    # this contextualizes the audio-sec/s number; see ROOFLINE.json for the
+    # per-op-class bound attribution.
     mfu = None
-    try:
+    if headline_flops is not None and np.isfinite(headline_flops) and headline_flops > 0:
         import os
 
-        from lightning_asr_tpu.training.steps import (create_train_state,
-                                                      make_train_step)
-
-        S = int(16.7 * 16000)
-        L = max(int(16.7 * CHARS_PER_SEC), 4)
-        rng_np = np.random.default_rng(0)
-        batch = {
-            "waves": (rng_np.standard_normal((32, S)) * 0.1).astype(np.float32),
-            "wave_lens": np.full((32,), S, np.int32),
-            "prev_samples": np.zeros((32,), np.float32),
-            "targets": rng_np.integers(0, 28, size=(32, L)).astype(np.int32),
-            "target_lens": np.full((32,), L, np.int32),
-        }
-        state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
-                                   feature_shape=(1, 320, 64))
-        step = jax.jit(make_train_step(model, optimizer, blank_id=28,
-                                       frontend=frontend, augment=True))
-        cost = step.lower(state, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        step_flops = float(cost.get("flops", float("nan")))
         peak = float(os.environ.get("LASR_PEAK_TFLOPS", "197")) * 1e12
-        flops_per_sec = step_flops * headline / (32 * 16.7)
-        if np.isfinite(step_flops) and step_flops > 0:
-            mfu = round(flops_per_sec / peak, 4)
-    except Exception:
-        pass  # cost analysis unsupported on some backends; mfu stays null
+        mfu = round(headline_flops * headline / (32 * 16.7) / peak, 4)
+
+    # AISHELL-1 configuration (directive r3#7): decoder 1024 -> 4334
+    # (/root/reference/data/aishell1-vocab.txt 4333 chars + blank,
+    # train.py:216-219) — certifies the CER path's throughput with CTC /
+    # log-softmax / the one-hot emission matmul at full vocab.  ~5 chars/sec
+    # transcript density (AISHELL-1: ~400k utts, ~14 chars / ~3 s).
+    cn = {}
+    try:
+        cn_model = build_model(num_classes=4334, encoder="quartznet12_context",
+                               mask=True, dtype=jnp.bfloat16)
+        cn_rate = bench_bucket(cn_model, optimizer, frontend, 16.7, B=32,
+                               num_classes=4334, chars_per_sec=5.0)
+        cn = {"audio_sec_per_sec": round(cn_rate, 1),
+              "step_ms": round(32 * 16.7 / cn_rate * 1000, 2)}
+    except Exception as e:
+        cn = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     baseline = 960 * 3600 / (50 * 60.0)  # ≈1152 audio-sec/sec (RTX 2060, 960h)
     print(json.dumps({
@@ -188,6 +204,7 @@ def main() -> None:
                 (round(v, 1) if isinstance(v, float) else v)
             for b, v in large_batch.items()},
         "mfu_headline": mfu,
+        "cn_vocab_4334": cn,
     }))
 
 

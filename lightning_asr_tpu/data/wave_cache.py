@@ -38,7 +38,22 @@ import numpy as np
 
 
 class MmapWaveCache:
-    """Mapping path -> int16 waveform, backed by a packed memory-mapped file."""
+    """Mapping path -> int16 waveform, backed by a packed memory-mapped file.
+
+    Staleness: each index line records the source file's size and mtime at
+    decode time; a lookup whose source no longer matches (regenerated /
+    replaced wav) is treated as a miss and re-decoded — the new samples are
+    appended and the index entry replaced (the old samples become orphaned
+    dead space, which is cheap relative to silently serving stale audio).
+    Entries written by older versions carry no source metadata and are
+    trusted as-is, so existing caches stay valid.
+
+    Concurrency: the first append takes an exclusive ``flock`` on
+    ``<dir>/writer.lock``; a second writer process (e.g. ``num_nodes>1``
+    pointed at one shared cache dir) fails fast with a clear error instead
+    of interleaving appends and shift-corrupting the index.  Readers need
+    no lock.
+    """
 
     def __init__(self, directory: str | Path):
         self.dir = Path(directory)
@@ -46,9 +61,12 @@ class MmapWaveCache:
         self.bin_path = self.dir / "waves.bin"
         self.index_path = self.dir / "index.jsonl"
         self._index: dict[str, tuple[int, int]] = {}
+        self._src_meta: dict[str, tuple[int, int]] = {}  # path -> (size, mtime_ns)
+        self._validated: set[str] = set()  # staleness-checked once per process
         self._mm: np.memmap | None = None
         self._mm_samples = 0  # samples visible through the current memmap
         self._write_f = None  # lazily opened append handle
+        self._lock_f = None
         self._load_index()
 
     # ------------------------------------------------------------------
@@ -76,6 +94,8 @@ class MmapWaveCache:
                 if off + n > bin_samples:
                     break  # index line for samples that never hit the disk
                 self._index[rec["p"]] = (off, n)
+                if "s" in rec and "m" in rec:
+                    self._src_meta[rec["p"]] = (int(rec["s"]), int(rec["m"]))
                 self._end = max(self._end, off + n)
                 kept.append(line)
         if len(kept) != sum(1 for _ in open(self.index_path)):
@@ -102,36 +122,84 @@ class MmapWaveCache:
         return self._mm
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _stat_src(path: str) -> tuple[int, int] | None:
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        return (int(st.st_size), int(st.st_mtime_ns))
+
+    def _is_fresh(self, path: str) -> bool:
+        """One stat per path per process: entries whose recorded source
+        size/mtime no longer match are stale misses (re-decoded + replaced);
+        legacy entries without metadata are trusted."""
+        if path in self._validated:
+            return True
+        meta = self._src_meta.get(path)
+        if meta is not None and self._stat_src(path) != meta:
+            del self._index[path]
+            del self._src_meta[path]
+            return False
+        self._validated.add(path)
+        return True
+
     def __contains__(self, path: str) -> bool:
-        return path in self._index
+        return path in self._index and self._is_fresh(path)
 
     def __len__(self) -> int:
         return len(self._index)
 
     def __getitem__(self, path: str) -> np.ndarray:
+        if path not in self:  # staleness check on direct lookups too
+            raise KeyError(path)
         off, n = self._index[path]
         return self._map()[off : off + n]
 
+    def _acquire_writer_lock(self) -> None:
+        import fcntl
+
+        self._lock_f = open(self.dir / "writer.lock", "w")
+        try:
+            fcntl.flock(self._lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self._lock_f.close()
+            self._lock_f = None
+            raise RuntimeError(
+                f"another process is already writing to the wave cache at "
+                f"{self.dir} — point each writer (e.g. each num_nodes>1 "
+                f"process) at its own cache_dir, or pre-build the cache once "
+                f"before launching") from None
+
     def __setitem__(self, path: str, wave: np.ndarray) -> None:
-        if path in self._index:
-            return  # decode-once: first write wins; duplicates are identical
+        if path in self._index and self._is_fresh(path):
+            return  # decode-once: duplicates of a fresh entry are identical
         if np.asarray(wave).dtype != np.int16:
             raise TypeError(
                 f"MmapWaveCache stores int16 PCM, got {np.asarray(wave).dtype} "
                 f"for {path}")
         wave = np.ascontiguousarray(wave, dtype=np.int16)
         if self._write_f is None:
+            self._acquire_writer_lock()
             self._write_f = open(self.bin_path, "ab")
         self._write_f.write(wave.tobytes())
         self._write_f.flush()
+        rec = {"p": path, "o": self._end, "n": int(wave.size)}
+        src = self._stat_src(path)
+        if src is not None:
+            rec["s"], rec["m"] = src
+            self._src_meta[path] = src
         with open(self.index_path, "a") as f:
-            f.write(json.dumps({"p": path, "o": self._end, "n": int(wave.size)})
-                    + "\n")
+            f.write(json.dumps(rec) + "\n")
         self._index[path] = (self._end, int(wave.size))
+        self._validated.add(path)
         self._end += int(wave.size)
 
     def close(self) -> None:
         if self._write_f is not None:
             self._write_f.close()
             self._write_f = None
+        if self._lock_f is not None:
+            self._lock_f.close()  # releases the flock
+            self._lock_f = None
         self._mm = None

@@ -296,6 +296,15 @@ def ctc_loss_pallas(
         # and run).  Per-sample losses are independent, so slicing the
         # batch is exact; grads flow through the concat.
         size = max(B // -(-B * S_pad // _MAX_B_SPAD), 1)
+        if size * S_pad > _MAX_B_SPAD:
+            # B == 1 and a single row still blows the VMEM cap (target
+            # length >= ~8k labels): tiling cannot shrink it further and
+            # recursing would never terminate — fail loudly instead.
+            raise ValueError(
+                f"CTC label sequence too long for the Pallas kernel: "
+                f"S_pad={S_pad} exceeds the per-row VMEM budget "
+                f"({_MAX_B_SPAD}); use ops.ctc.ctc_loss (scan) for "
+                f"targets this long")
         return jnp.concatenate([
             ctc_loss_pallas(log_probs[i:i + size], input_lengths[i:i + size],
                             targets[i:i + size], target_lengths[i:i + size],

@@ -52,6 +52,7 @@ registered (single chip, dp-only) the helper is an identity — zero cost.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional
 
 import jax
@@ -145,6 +146,22 @@ def set_tp_mesh(mesh: Optional[Mesh]) -> None:
 
 def get_tp_mesh() -> Optional[Mesh]:
     return _TP_MESH
+
+
+@contextlib.contextmanager
+def tp_mesh_scope(mesh: Optional[Mesh]):
+    """Scope the activation-layout pin to a block instead of leaking it
+    process-wide: registers ``mesh`` for the duration and restores the
+    previous registration on exit.  The Trainer wraps every call that can
+    trace a step in this scope, so a tp Trainer no longer poisons later
+    dp-only tracing (or inference) in the same process."""
+    global _TP_MESH
+    prev = _TP_MESH
+    set_tp_mesh(mesh)
+    try:
+        yield
+    finally:
+        _TP_MESH = prev
 
 
 def shard_trunk_activations(x: jax.Array) -> jax.Array:

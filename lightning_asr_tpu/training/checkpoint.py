@@ -57,11 +57,20 @@ class CheckpointManager:
         if self._primary:
             (path / "metadata.json").write_text(json.dumps(metadata, indent=2, default=str))
 
-    def save(self, state: Any, epoch: int, metrics: dict, hparams: Optional[dict] = None) -> None:
-        """Save 'last' always; keep the top-k best by the monitored metric."""
+    def save(self, state: Any, epoch: int, metrics: dict, hparams: Optional[dict] = None,
+             trainer_meta: Optional[dict] = None) -> None:
+        """Save 'last' always; keep the top-k best by the monitored metric.
+
+        ``trainer_meta`` carries host-side controller state that lives outside
+        the jax pytree (e.g. the ReduceLROnPlateau best/patience counters —
+        the reference delegates this to Lightning, which checkpoints
+        ``lr_schedulers`` state dicts alongside the weights,
+        ``/root/reference/train.py:210-212``)."""
         state = jax.device_get(state)
         metadata = {"epoch": epoch, "metrics": {k: float(v) for k, v in metrics.items()},
                     "hparams": hparams or {}}
+        if trainer_meta:
+            metadata["trainer"] = trainer_meta
 
         self._save_tree(self.directory / "last", state, metadata)
         self._index["last"] = "last"

@@ -154,12 +154,14 @@ class Trainer:
         # trunk per parallel/tp.py; on a 1-D (or model=1) mesh _place_state
         # degenerates to full replication, the DDP-analog default.
         self._tp = int(self.mesh.shape.get("model", 1))
-        # register (or clear) the activation-layout pin BEFORE the step
-        # traces — grouped-conv wgrads are miscompiled on >=2-D meshes
-        # without it (parallel/tp.py)
-        from ..parallel.tp import set_tp_mesh
+        # The activation-layout pin (grouped-conv wgrads are miscompiled on
+        # >=2-D meshes without it, parallel/tp.py) is SCOPED to each call
+        # that can trace a step — see _tp_scope — so building a tp Trainer
+        # no longer leaks a with_sharding_constraint mesh into later
+        # dp-only tracing or inference in the same process.
+        from ..parallel.tp import tp_mesh_scope
 
-        set_tp_mesh(self.mesh)
+        self._tp_scope = lambda: tp_mesh_scope(self.mesh)
         self._n_procs = jax.process_count()
         # Multi-process: every newly compiled executable's FIRST collective
         # runs a key-value exchange with a hard ~30 s deadline (gloo on CPU;
@@ -195,9 +197,10 @@ class Trainer:
         from .steps import create_train_state
 
         feat_dim = getattr(self.model, "feature_in", None) or getattr(self.model, "in_c", 64)
-        state = create_train_state(
-            self.model, self.optimizer, self.rng, feature_shape=(1, 320, feat_dim)
-        )
+        with self._tp_scope():
+            state = create_train_state(
+                self.model, self.optimizer, self.rng, feature_shape=(1, 320, feat_dim)
+            )
         return self._place_state(state)
 
     def _place_state(self, state: AsrTrainState) -> AsrTrainState:
@@ -250,6 +253,20 @@ class Trainer:
             state, meta = self.checkpoints.restore(state, resume)
             state = self._place_state(state)
             start_epoch = int(meta.get("epoch", -1)) + 1
+            if self.plateau is not None:
+                saved = meta.get("trainer", {}).get("plateau")
+                if saved:
+                    self.plateau.load_state_dict(saved)
+                elif hasattr(state.opt_state, "hyperparams"):
+                    # legacy checkpoint without controller state: at least
+                    # keep the restored runtime lr instead of silently
+                    # resetting the schedule to init_lr
+                    self.plateau.lr = float(np.asarray(
+                        state.opt_state.hyperparams["learning_rate"]))
+                    logger.warning(
+                        "checkpoint has no plateau controller state; resumed "
+                        "lr=%g from the optimizer state but best/patience "
+                        "counters restart", self.plateau.lr)
             logger.info("resumed from %s at epoch %d", resume, start_epoch)
         self.global_step = int(state.step)
 
@@ -267,7 +284,10 @@ class Trainer:
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_metrics = self.validate(state)
                 self.loggers.log_metrics(val_metrics, int(state.step))
-                self.checkpoints.save(state, epoch, val_metrics, self.hparams)
+                self.checkpoints.save(
+                    state, epoch, val_metrics, self.hparams,
+                    trainer_meta=({"plateau": self.plateau.state_dict()}
+                                  if self.plateau is not None else None))
                 if self.plateau is not None:
                     new_lr = self.plateau.step(val_metrics.get(self.plateau_monitor))
                     state = self._set_lr(state, new_lr)
@@ -300,13 +320,23 @@ class Trainer:
         first execution so every process reaches the collective's context
         init together regardless of compile-time skew."""
         if self._n_procs == 1:
-            return self._train_step(state, dev_batch, rng)
+            with self._tp_scope():
+                return self._train_step(state, dev_batch, rng)
         key = (dev_batch["waves"].shape, dev_batch["waves"].dtype.name,
                dev_batch["targets"].shape)
         exe = self._aot_train_steps.get(key)
         if exe is None:
-            exe = self._train_step.lower(state, dev_batch, rng).compile()
-            self._coordination_barrier(f"lasr_step_exe_{len(self._aot_train_steps)}")
+            with self._tp_scope():
+                exe = self._train_step.lower(state, dev_batch, rng).compile()
+            # Name the barrier by the batch-shape key itself — deterministic
+            # across processes even if they encounter shapes in different
+            # orders (a compile-order-derived name deadlocks silently on any
+            # divergence).
+            import hashlib
+
+            name = "lasr_step_" + hashlib.md5(repr(key).encode()).hexdigest()[:16]
+            logger.info("waiting at barrier %s for batch shape %s", name, key)
+            self._coordination_barrier(name)
             self._aot_train_steps[key] = exe
         return exe(state, dev_batch, rng)
 
@@ -319,11 +349,20 @@ class Trainer:
             from jax._src import distributed
 
             client = distributed.global_state.client
-            if client is not None:
-                client.wait_at_barrier(name, timeout_ms)
         except ImportError:  # pragma: no cover - private API moved
             logger.warning("no coordination barrier available; relying on "
                            "collective-init deadline not being hit")
+            return
+        if client is None:
+            return
+        try:
+            client.wait_at_barrier(name, timeout_ms)
+        except Exception as e:  # timeout / coordination-service failure
+            raise RuntimeError(
+                f"coordination barrier {name!r} failed on process "
+                f"{jax.process_index()}/{self._n_procs} — processes likely "
+                f"encountered different batch shapes or one died mid-compile"
+            ) from e
 
     # Hook for subclasses (e.g. the SSL pseudo-labeling trainer).
     def on_validation_end(self, state, epoch, val_metrics) -> None:
@@ -439,7 +478,7 @@ class Trainer:
         batch_wers = []
         losses = []
         for i, (batch, dev_batch) in enumerate(self._device_iter(batcher)):
-            with self.profiler.profile(f"{tag}_step"):
+            with self.profiler.profile(f"{tag}_step"), self._tp_scope():
                 out = self._eval_step(state, dev_batch)
             n = batch.size
             if n == 0:  # multi-host tail shard with only pad rows

@@ -210,6 +210,18 @@ def main() -> None:
                 curve.extend(prior.get("runs", {}).get(tag, {}).get("curve", []))
             print(f"resuming {tag} from {last} with {len(curve)} prior "
                   f"curve points", flush=True)
+            if plateau is not None and curve:
+                # Reconstruct the controller exactly by replaying the prior
+                # curve's val_loss history (one plateau.step per validated
+                # epoch — the same call sequence fit() made).  Newer
+                # checkpoints also carry plateau state_dict in metadata and
+                # the trainer restores it; the replay covers legacy ones and
+                # is idempotent with it (identical resulting state).
+                for c in curve:
+                    plateau.step(c["val_loss"])
+                print(f"plateau controller replayed: lr={plateau.lr:g} "
+                      f"best={plateau.best:.4f} bad={plateau.num_bad_epochs} "
+                      f"cooldown={plateau.cooldown_counter}", flush=True)
         else:
             print(f"--resume requested but {last} missing; starting fresh",
                   flush=True)

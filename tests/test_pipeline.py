@@ -1,6 +1,8 @@
 """Bucket batcher: static shapes, crop semantics, epoch shuffling, prefetch."""
 
 import json
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -338,3 +340,71 @@ def test_cached_decode_full_file_despite_understated_duration(tmp_path):
     for bp, bc in zip(plain, cached):
         np.testing.assert_array_equal(bp.waves, bc.waves)
         np.testing.assert_array_equal(bp.wave_lens, bc.wave_lens)
+
+
+def test_mmap_cache_staleness_and_writer_lock(tmp_path):
+    """Round-4 hardening: a regenerated source wav must not be served stale
+    (size/mtime recorded per entry, mismatch -> re-decode), and a second
+    writer process on one cache dir must fail fast instead of interleaving
+    appends (exclusive flock)."""
+    import json as json_mod
+
+    from lightning_asr_tpu.data.wave_cache import MmapWaveCache
+
+    d = tmp_path / "wc"
+    src = tmp_path / "a.wav"
+    src.write_bytes(b"\x01\x02" * 100)
+    w1 = np.arange(8, dtype=np.int16)
+    mm = MmapWaveCache(d)
+    mm[str(src)] = w1
+    assert str(src) in mm
+    np.testing.assert_array_equal(mm[str(src)], w1)
+
+    # replace the source file: a FRESH cache instance must treat the entry
+    # as a miss and accept the re-decode (same-process instances have
+    # already validated the path this epoch)
+    src.write_bytes(b"\x03\x04" * 120)
+    os.utime(src, ns=(1, 1))
+    mm.close()
+    mm2 = MmapWaveCache(d)
+    assert str(src) not in mm2
+    w2 = np.arange(10, dtype=np.int16) * 3
+    mm2[str(src)] = w2
+    np.testing.assert_array_equal(mm2[str(src)], w2)
+    # the replacement persists across reopen
+    mm2.close()
+    mm3 = MmapWaveCache(d)
+    np.testing.assert_array_equal(mm3[str(src)], w2)
+
+    # legacy entries (no source metadata) stay trusted
+    lines = (d / "index.jsonl").read_text().splitlines()
+    rec = json_mod.loads(lines[-1])
+    rec.pop("s"), rec.pop("m")
+    rec["p"] = "legacy-entry"
+    (d / "index.jsonl").write_text("\n".join(lines + [json_mod.dumps(rec)]) + "\n")
+    mm3.close()
+    mm4 = MmapWaveCache(d)
+    assert "legacy-entry" in mm4
+
+    # writer exclusivity: a concurrent writer in another process errors
+    import subprocess
+    import sys as sys_mod
+
+    code = (
+        "import numpy as np, sys; sys.path.insert(0, %r)\n"
+        "from lightning_asr_tpu.data.wave_cache import MmapWaveCache\n"
+        "mm = MmapWaveCache(%r)\n"
+        "try:\n"
+        "    mm['other'] = np.ones(4, np.int16)\n"
+        "    print('NO-LOCK')\n"
+        "except RuntimeError:\n"
+        "    print('LOCKED')\n"
+    ) % (str(Path(__file__).resolve().parents[1]), str(d))
+    mm4["holder"] = np.ones(4, np.int16)  # acquires the flock
+    out = subprocess.run([sys_mod.executable, "-c", code], capture_output=True,
+                         text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert "LOCKED" in out.stdout, out.stdout + out.stderr
+    mm4.close()  # releases the lock -> a new writer succeeds
+    out = subprocess.run([sys_mod.executable, "-c", code], capture_output=True,
+                         text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert "NO-LOCK" in out.stdout, out.stdout + out.stderr

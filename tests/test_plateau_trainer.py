@@ -77,3 +77,35 @@ def test_runtime_lr_optimizer_updates_under_jit():
     updates2, _ = step(g, state, p)
     scaled = float(np.abs(np.asarray(updates2["w"])[0]))
     np.testing.assert_allclose(scaled, base / 10, rtol=1e-4)
+
+
+def test_plateau_state_checkpoint_roundtrip(tmp_path):
+    """Resume must not reset the plateau schedule (round 4): the controller's
+    lr/best/patience ride in checkpoint metadata (the reference delegates this
+    to Lightning's lr_schedulers state-dict checkpointing,
+    /root/reference/train.py:210-212)."""
+    from lightning_asr_tpu.training.checkpoint import CheckpointManager
+    from lightning_asr_tpu.training.steps import AsrTrainState
+
+    plateau = ReduceLROnPlateau(init_lr=1e-2, patience=0, factor=0.1, cooldown=0)
+    plateau.step(1.0)
+    plateau.step(1.0)  # -> 1e-3
+    plateau.step(0.5)  # improvement: best=0.5, bad=0
+    assert plateau.lr == 1e-3
+
+    state = AsrTrainState(step=jnp.asarray(7, jnp.int32), params={"w": jnp.ones((4,))},
+                          batch_stats={}, opt_state=optax.EmptyState(),
+                          nan_count=jnp.zeros((), jnp.int32))
+    mgr = CheckpointManager(tmp_path / "ckpts", top_k=1)
+    mgr.save(state, epoch=3, metrics={"val_wer": 0.5, "val_loss": 0.5},
+             trainer_meta={"plateau": plateau.state_dict()})
+
+    restored, meta = mgr.restore(state, "last")
+    fresh = ReduceLROnPlateau(init_lr=1e-2, patience=0, factor=0.1, cooldown=0)
+    fresh.load_state_dict(meta["trainer"]["plateau"])
+    assert fresh.lr == plateau.lr
+    assert fresh.best == plateau.best
+    assert fresh.num_bad_epochs == plateau.num_bad_epochs
+    assert fresh.cooldown_counter == plateau.cooldown_counter
+    # next step behaves as if never interrupted: no improvement -> 1e-4
+    assert fresh.step(0.6) == 1e-4

@@ -201,3 +201,74 @@ def test_grouped_conv_wgrad_needs_channel_sharding():
             "GSPMD grouped-conv wgrad now partitions correctly without the "
             "channel-sharding pin — revisit shard_trunk_activations "
             "(parallel/tp.py) and simplify if the fix is real.")
+
+
+def test_tp_mesh_scope_does_not_leak():
+    """ADVICE r3: a tp Trainer must not leave the process-global activation
+    pin registered after its steps run — later dp-only tracing in the same
+    process would inherit with_sharding_constraint against a mesh it never
+    chose.  tp_mesh_scope restores the previous registration on exit."""
+    from lightning_asr_tpu.parallel.mesh import make_mesh
+    from lightning_asr_tpu.parallel.tp import (get_tp_mesh, set_tp_mesh,
+                                               tp_mesh_scope)
+
+    assert get_tp_mesh() is None
+    tp_mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    with tp_mesh_scope(tp_mesh):
+        assert get_tp_mesh() is tp_mesh
+        with tp_mesh_scope(None):  # nested scopes restore correctly
+            assert get_tp_mesh() is None
+        assert get_tp_mesh() is tp_mesh
+    assert get_tp_mesh() is None
+
+    # exception-safe
+    try:
+        with tp_mesh_scope(tp_mesh):
+            raise ValueError("boom")
+    except ValueError:
+        pass
+    assert get_tp_mesh() is None
+    set_tp_mesh(None)
+
+
+def test_trainer_does_not_leak_tp_mesh(tmp_path):
+    """Building + stepping a tp Trainer leaves get_tp_mesh() clear for the
+    rest of the process (regression for the init-time global registration)."""
+    import jax.numpy as jnp
+
+    from lightning_asr_tpu.data import AsrDataModule
+    from lightning_asr_tpu.data.audio import write_wav
+    from lightning_asr_tpu.models import build_model
+    from lightning_asr_tpu.optim import novograd
+    from lightning_asr_tpu.parallel.mesh import make_mesh
+    from lightning_asr_tpu.parallel.tp import get_tp_mesh
+    from lightning_asr_tpu.training import Trainer
+
+    import json
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        w = (rng.standard_normal(1600) * 0.1).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, w[None], 16000)
+        rows.append({"audio_filepath": str(p), "duration": 0.1, "text": "ab"})
+    man = tmp_path / "m.json"
+    with open(man, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    dm = AsrDataModule(train_manifest=str(man), dev_manifest=str(man),
+                       labels=[" ", "a", "b"], train_bs=8, dev_bs=8,
+                       bucket_seconds=(0.2,), crop=False)
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    model = build_model(num_classes=4, mask=True, dtype=jnp.float32)
+    tr = Trainer(model, novograd(1e-3), dm, total_epochs=1, mesh=mesh,
+                 run_dir=str(tmp_path / "run"), augment=False,
+                 sample_log_every_n_batches=10**9, train_wer_every_n_steps=10**9)
+    assert get_tp_mesh() is None  # construction must not register globally
+    state = tr.fit()
+    assert get_tp_mesh() is None  # nor fit/validate
+    assert np.isfinite(float(np.asarray(
+        tr.validate(state)["val_loss"])))
+    assert get_tp_mesh() is None
