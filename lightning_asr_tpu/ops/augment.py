@@ -40,6 +40,51 @@ def sub_sequence_crop(
     return location, max(target_length - location, 1)
 
 
+def wave_crop(
+    waves: jnp.ndarray,
+    wave_lens: jnp.ndarray,
+    rng: jax.Array,
+    weight: float = 0.98,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """IN-GRAPH reference random crop, for HBM-resident replay epochs.
+
+    Same distribution as ``sub_sequence_crop`` (the reference's
+    ``sub_secquence``, ``/root/reference/data_module.py:138-148``):
+    ``target = int(len * U(w, 1))``, ``offset = int(U(0, len - target))``,
+    crop window ``[offset, target)`` — but executed inside the jitted step
+    on (B, S) device arrays, so ``device_cache`` training re-rolls the crop
+    every replay epoch instead of freezing epoch 0's windows (VERDICT r3
+    #6).  Returns ``(waves, new_lens, prev_samples)``: rows shifted to
+    start 0 via per-row dynamic_slice, zero-padded past ``new_len``, and
+    the pre-crop sample (float, int16 wire rescaled) for preemphasis
+    continuity — exactly what the host loader hands the frontend.
+    """
+    B, S = waves.shape
+    r1, r2 = jax.random.split(rng)
+    lens_f = wave_lens.astype(jnp.float32)
+    target = jnp.floor(lens_f * jax.random.uniform(
+        r1, (B,), minval=weight, maxval=1.0)).astype(jnp.int32)
+    offset = jnp.floor(jax.random.uniform(r2, (B,))
+                       * (lens_f - target.astype(jnp.float32))).astype(jnp.int32)
+    new_len = jnp.maximum(target - offset, 1)
+
+    # per-row left shift by offset: pad S zeros so the static-size slice
+    # never clamps the start index (dynamic_slice clamps to [0, S - size])
+    padded = jnp.concatenate([waves, jnp.zeros_like(waves)], axis=1)
+    shifted = jax.vmap(
+        lambda w, o: lax.dynamic_slice(w, (o,), (S,)))(padded, offset)
+    idx = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    shifted = jnp.where(idx < new_len[:, None], shifted, jnp.zeros((), waves.dtype))
+
+    prev_idx = jnp.maximum(offset - 1, 0)
+    prev = jax.vmap(lambda w, i: lax.dynamic_slice(w, (i,), (1,))[0])(waves, prev_idx)
+    prev = prev.astype(jnp.float32)
+    if waves.dtype == jnp.int16:  # int16 wire format: frontend-scale floats
+        prev = prev / 32768.0
+    prev = jnp.where(offset > 0, prev, 0.0)
+    return shifted, new_len, prev
+
+
 def _band_mask(size: int, start: jnp.ndarray, width: jnp.ndarray) -> jnp.ndarray:
     """(..., size) boolean mask, True inside [start, start+width)."""
     idx = lax.broadcasted_iota(jnp.int32, (1, size), 1)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.augment import cutout, spec_augment
+from ..ops.augment import cutout, spec_augment, wave_crop
 from ..ops.ctc import ctc_loss as ctc_loss_scan
 from ..ops.ctc_pallas import ctc_loss_pallas as ctc_loss
 from ..ops.frontend import MelFrontendConfig, log_mel_spectrogram, normalize_features
@@ -91,6 +91,8 @@ def make_train_step(
     time_mask: float | int = 0.07,
     from_features: bool = False,
     normalize: bool = True,
+    crop: bool = False,
+    crop_weight: float = 0.98,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -99,7 +101,11 @@ def make_train_step(
     which uses ``augment='cutout'`` (features_cutout, 5 rects up to 150x100,
     ``ssl_data_module.py:332-350``) and no per-utterance normalization.
     ``augment`` True/'specaugment' applies the mel SpecAugment; None/False
-    disables augmentation.
+    disables augmentation.  ``crop`` applies the reference's random wave
+    crop IN-GRAPH (``ops.augment.wave_crop``) — used by ``device_cache``
+    mode, whose HBM-resident batches carry uncropped waveforms so every
+    replay epoch re-rolls the crop like the host loader does per epoch
+    (``/root/reference/data_module.py:138-148``).
     """
     if augment is True:
         augment = "specaugment"
@@ -113,10 +119,18 @@ def make_train_step(
         if from_features:
             feats, feat_lens = batch["waves"], batch["wave_lens"]
         else:
+            waves, wave_lens = batch["waves"], batch["wave_lens"]
+            prev_samples = batch.get("prev_samples")
+            if crop:
+                # separate stream so the dither/augment/dropout streams stay
+                # identical to the crop-off graph
+                r_crop = jax.random.fold_in(step_rng, 7919)
+                waves, wave_lens, prev_samples = wave_crop(
+                    waves, wave_lens, r_crop, crop_weight)
             feats, feat_lens = log_mel_spectrogram(
-                batch["waves"], batch["wave_lens"], frontend,
+                waves, wave_lens, frontend,
                 rng=r_dither if frontend.dither > 0 else None,
-                prev_samples=batch.get("prev_samples"),
+                prev_samples=prev_samples,
             )
         if augment == "specaugment":
             feats = spec_augment(feats, feat_lens, r_spec, freq_mask, time_mask)

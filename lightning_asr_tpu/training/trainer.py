@@ -80,11 +80,15 @@ class Trainer:
         """``device_cache=True`` keeps every train batch resident in HBM
         after epoch 0: later epochs iterate the SAME device arrays in a
         reshuffled order — zero host decode and zero host->device transfer
-        in steady state.  Batch composition (incl. any random crop) is
-        frozen at epoch 0; SpecAugment stays fresh because the step RNG
-        folds in ``state.step``.  Intended for corpora that fit device
-        memory (~1 GB per 8 audio-hours as int16) and for isolating device
-        throughput from host/transfer bottlenecks."""
+        in steady state.  The cached batches carry UNCROPPED waveforms and
+        the reference's random crop runs IN-GRAPH per step
+        (``ops.augment.wave_crop``), so every replay epoch re-rolls the
+        crop exactly like the host loader does per epoch; SpecAugment stays
+        fresh because the step RNG folds in ``state.step``.  Batch
+        COMPOSITION (bucket membership and batch grouping, by uncropped
+        length) is what epoch 0 freezes.  Intended for corpora that fit
+        device memory (~1 GB per 8 audio-hours as int16) and for isolating
+        device throughput from host/transfer bottlenecks."""
         self.model = model
         self.optimizer = optimizer
         self.dm = datamodule
@@ -135,12 +139,22 @@ class Trainer:
         self.plateau_monitor = plateau_monitor
         self.device_cache = device_cache
         self._epoch_cache: Optional[list] = None  # [(Batch, dev_batch)]
+        # device_cache: stage UNCROPPED waves (host crop off) and re-roll
+        # the reference crop in-graph on every step, so replay epochs train
+        # the exact recipe instead of a frozen-crop variant
+        crop_in_graph = False
+        if device_cache and getattr(datamodule, "crop", False) and not from_features:
+            datamodule.crop = False
+            crop_in_graph = True
+        self._crop_in_graph = crop_in_graph
 
         self._train_step = jax.jit(
             make_train_step(
                 model, optimizer, self.vocab.blank_id, frontend,
                 augment=augment, freq_mask=freq_mask, time_mask=time_mask,
                 from_features=from_features, normalize=normalize,
+                crop=crop_in_graph,
+                crop_weight=getattr(datamodule, "crop_weight", 0.98),
             ),
             donate_argnums=(0,),
         )

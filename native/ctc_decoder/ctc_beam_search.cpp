@@ -560,53 +560,49 @@ extern "C" {
 // Exactly one of out_f32 / out_i16 must be non-null: the i16 form keeps the
 // raw PCM16 samples (mono PCM16 = straight memcpy) — half the bytes on the
 // wire to the device, which rescales by 1/32768.
-static int load_wav_impl(const char* path, float* out_f32, int16_t* out_i16,
-                         int max_samples, int offset, float* prev_sample,
-                         int* sample_rate) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return -1;
-  unsigned char hdr[12];
-  if (std::fread(hdr, 1, 12, f) != 12 || std::memcmp(hdr, "RIFF", 4) != 0 ||
-      std::memcmp(hdr + 8, "WAVE", 4) != 0) { std::fclose(f); return -1; }
+// Parse a RIFF WAVE image already in memory (the serving path hands us
+// request bodies without touching disk; the file path below reads the file
+// then delegates here).
+static int parse_wav_mem_impl(const unsigned char* file, long fsize,
+                              float* out_f32, int16_t* out_i16,
+                              int max_samples, int offset, float* prev_sample,
+                              int* sample_rate) {
+  if (fsize < 12 || std::memcmp(file, "RIFF", 4) != 0 ||
+      std::memcmp(file + 8, "WAVE", 4) != 0) return -1;
 
   int audio_format = 0, channels = 1, bits = 16, sr = 0;
   long data_pos = -1; unsigned data_size = 0;
-  unsigned char chunk[8];
-  while (std::fread(chunk, 1, 8, f) == 8) {
+  long pos = 12;
+  while (pos + 8 <= fsize) {
+    const unsigned char* chunk = file + pos;
     unsigned size = chunk[4] | (chunk[5] << 8) | (chunk[6] << 16) |
                     (unsigned(chunk[7]) << 24);
+    pos += 8;
     if (std::memcmp(chunk, "fmt ", 4) == 0) {
-      unsigned char fmt[16];
-      if (std::fread(fmt, 1, 16, f) != 16) { std::fclose(f); return -1; }
+      if (pos + 16 > fsize) return -1;
+      const unsigned char* fmt = file + pos;
       audio_format = fmt[0] | (fmt[1] << 8);
       channels = fmt[2] | (fmt[3] << 8);
       sr = fmt[4] | (fmt[5] << 8) | (fmt[6] << 16) | (unsigned(fmt[7]) << 24);
       bits = fmt[14] | (fmt[15] << 8);
-      if (size > 16) std::fseek(f, size - 16, SEEK_CUR);
     } else if (std::memcmp(chunk, "data", 4) == 0) {
-      data_pos = std::ftell(f);
+      if (pos + long(size) > fsize) return -1;  // truncated body
+      data_pos = pos;
       data_size = size;
-      std::fseek(f, size + (size & 1), SEEK_CUR);
-    } else {
-      std::fseek(f, size + (size & 1), SEEK_CUR);
     }
+    pos += size + (size & 1);
   }
-  if (data_pos < 0 || sr == 0 || channels <= 0) { std::fclose(f); return -1; }
+  if (data_pos < 0 || sr == 0 || channels <= 0 || bits < 8) return -1;
   if (sample_rate) *sample_rate = sr;
 
+  const unsigned char* raw = file + data_pos;
   const int bytes_per = bits / 8;
   const long n_frames = data_size / (bytes_per * channels);
-  std::fseek(f, data_pos, SEEK_SET);
-  std::vector<unsigned char> raw(data_size);
-  if (std::fread(raw.data(), 1, data_size, f) != data_size) {
-    std::fclose(f); return -1;
-  }
-  std::fclose(f);
 
   auto sample_at = [&](long i) -> float {  // mono-mixed frame i
     double acc = 0.0;
     for (int ch = 0; ch < channels; ++ch) {
-      const unsigned char* p = raw.data() + (i * channels + ch) * bytes_per;
+      const unsigned char* p = raw + (i * channels + ch) * bytes_per;
       if (audio_format == 3 && bits == 32) {
         float v; std::memcpy(&v, p, 4); acc += v;
       } else if (bits == 16) {
@@ -627,7 +623,7 @@ static int load_wav_impl(const char* path, float* out_f32, int16_t* out_i16,
   if (n > max_samples) n = max_samples;
   // fast path: mono PCM16 (the prep scripts' output format)
   if (channels == 1 && bits == 16 && audio_format != 3) {
-    const unsigned char* p = raw.data() + offset * 2;
+    const unsigned char* p = raw + offset * 2;
     if (out_i16) {
       std::memcpy(out_i16, p, size_t(n) * 2);  // little-endian both sides
     } else {
@@ -644,6 +640,24 @@ static int load_wav_impl(const char* path, float* out_f32, int16_t* out_i16,
     for (long i = 0; i < n; ++i) out_f32[i] = sample_at(offset + i);
   }
   return int(n);
+}
+
+static int load_wav_impl(const char* path, float* out_f32, int16_t* out_i16,
+                         int max_samples, int offset, float* prev_sample,
+                         int* sample_rate) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (fsize <= 0) { std::fclose(f); return -1; }
+  std::vector<unsigned char> file(static_cast<size_t>(fsize));
+  if (std::fread(file.data(), 1, size_t(fsize), f) != size_t(fsize)) {
+    std::fclose(f); return -1;
+  }
+  std::fclose(f);
+  return parse_wav_mem_impl(file.data(), fsize, out_f32, out_i16, max_samples,
+                            offset, prev_sample, sample_rate);
 }
 
 int lasr_load_wav(const char* path, float* out, int max_samples,
@@ -696,6 +710,31 @@ void lasr_load_wav_batch_i16(const char** paths, const int* offsets, int B,
                              int* lens, float* prevs, int* srs) {
   load_wav_batch_impl(paths, offsets, B, nullptr, out, max_samples,
                       num_threads, lens, prevs, srs);
+}
+
+// Batched decode of IN-MEMORY wav images (the serving runtime: request
+// bodies are decoded once per device batch over this pool, GIL-free,
+// instead of per-request Python threads).  lens[b] = -1 marks a malformed
+// body.
+void lasr_parse_wav_batch_mem(const unsigned char** bufs, const long* sizes,
+                              int B, float* out, int max_samples,
+                              int num_threads, int* lens, int* srs) {
+  num_threads = std::max(1, num_threads);
+  std::atomic_int next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= B) return;
+      lens[b] = parse_wav_mem_impl(bufs[b], sizes[b],
+                                   out + int64_t(b) * max_samples, nullptr,
+                                   max_samples, 0, nullptr,
+                                   srs ? srs + b : nullptr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < num_threads && i < B; ++i) pool.emplace_back(worker);
+  if (pool.empty()) worker();
+  for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

@@ -162,9 +162,10 @@ def run_mode(manifest: Path, mode: str, epochs: int, batch_size: int) -> dict:
         # epoch 0, the chunked-resume / second-job scenario)
         cache={"ram_cache": "ram", "mmap_cache": "mmap",
                "mmap_restart": "mmap"}.get(mode),
-        # fixed batch composition is inherent to device_cache; disable the
-        # random crop there so epoch batches are exactly replayable
-        crop=(mode != "device_cache"),
+        # device_cache stages UNCROPPED waves and re-rolls the reference
+        # crop in-graph per replay step (ops.augment.wave_crop), so crop
+        # stays ON in every mode — the headline trains the exact recipe
+        crop=True,
     )
     model = build_model(num_classes=len(LABELS) + 1, mask=True, dtype=jnp.bfloat16)
     steps_per_epoch = dm.steps_per_epoch()

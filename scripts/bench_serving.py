@@ -67,33 +67,49 @@ def multipart_wav(wave_bytes: bytes) -> tuple[bytes, str]:
 
 def run_level(port: int, body: bytes, boundary: str, concurrency: int,
               n_requests: int, audio_seconds: float) -> dict:
+    """One load level.  503s (bounded-queue shedding under overload) are
+    counted separately: completed requests define latency/throughput, and
+    the shed fraction shows overload degrades to fast rejections instead of
+    unbounded latency (VERDICT r3 #4)."""
+    import urllib.error
     import urllib.request
 
-    def one() -> float:
+    def one():
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/", data=body,
             headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
         t0 = time.perf_counter()
-        with urllib.request.urlopen(req, timeout=120) as resp:
-            resp.read()
-        return time.perf_counter() - t0
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 503:
+                return ("shed", time.perf_counter() - t0)
+            raise
+        return ("ok", time.perf_counter() - t0)
 
     one()  # warm this level's path
-    lat = []
+    lat, shed_lat = [], []
     t0 = time.perf_counter()
     with ThreadPoolExecutor(concurrency) as pool:
-        for dt in pool.map(lambda _: one(), range(n_requests)):
-            lat.append(dt)
+        for status, dt in pool.map(lambda _: one(), range(n_requests)):
+            (lat if status == "ok" else shed_lat).append(dt)
     wall = time.perf_counter() - t0
-    lat = np.asarray(lat)
-    return {
+    lat = np.asarray(lat) if lat else np.asarray([float("nan")])
+    out = {
         "concurrency": concurrency,
         "requests": n_requests,
+        "completed": n_requests - len(shed_lat),
+        "shed_503": len(shed_lat),
         "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
         "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
-        "rps": round(n_requests / wall, 2),
-        "audio_sec_per_sec": round(n_requests * audio_seconds / wall, 1),
+        "rps": round((n_requests - len(shed_lat)) / wall, 2),
+        "audio_sec_per_sec": round(
+            (n_requests - len(shed_lat)) * audio_seconds / wall, 1),
     }
+    if shed_lat:
+        out["shed_p95_ms"] = round(float(np.percentile(shed_lat, 95)) * 1e3, 1)
+    return out
 
 
 def main() -> None:
@@ -142,9 +158,10 @@ def main() -> None:
         port = server.server_address[1]
         threading.Thread(target=server.serve_forever, daemon=True).start()
         levels = []
-        for concurrency in (1, 8, 32):
+        for concurrency in (1, 8, 32, 64):
+            n_req = max(args.requests, 4 * concurrency)
             levels.append(run_level(port, body, boundary, concurrency,
-                                    args.requests, args.seconds))
+                                    n_req, args.seconds))
             print(f"batching={batching} {levels[-1]}", flush=True)
         server.shutdown()
         report["modes"]["batched" if batching else "serial"] = levels

@@ -82,17 +82,20 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
     return manifest
 
 
-def dev_cer(model, state, root: Path, manifest: Path, batch_size: int) -> float:
-    """Greedy-decode a feature corpus and return corpus CER."""
+def decode_corpus(model, state, root: Path, manifest: Path, batch_size: int):
+    """Greedy-decode a feature corpus; returns (stems, refs, hyps, confs)
+    where conf is the reference's negative-mean-max-log-prob score
+    (``/root/reference/train_ssl.py:243-251`` semantics via
+    ssl_codec.confidence.sum_logprob)."""
     import jax
     import jax.numpy as jnp
 
     from lightning_asr_tpu.decoding.greedy import greedy_decode_to_strings
-    from lightning_asr_tpu.metrics.wer import word_error_rate
+    from lightning_asr_tpu.ssl_codec.confidence import sum_logprob
 
     TPAD = 512
     rows = [json.loads(l) for l in open(manifest)]
-    feats_b, lens_b, refs = [], [], []
+    feats_b, lens_b, refs, stems = [], [], [], []
     for r in rows:
         stem = Path(r["audio_filepath"]).stem
         f = pickle.load(open(root / "feats" / f"{stem}.pkl", "rb"))[0]
@@ -102,9 +105,10 @@ def dev_cer(model, state, root: Path, manifest: Path, batch_size: int) -> float:
         feats_b.append(buf)
         lens_b.append(T)
         refs.append(r["text"])
+        stems.append(stem)
     fwd = jax.jit(lambda x, p: model.apply(
         {"params": state.params, "batch_stats": state.batch_stats}, x, p, False))
-    hyps = []
+    hyps, confs = [], []
     for i in range(0, len(feats_b), batch_size):
         chunk = feats_b[i : i + batch_size]
         pad = batch_size - len(chunk)  # static batch shape; pad rows dropped
@@ -112,15 +116,25 @@ def dev_cer(model, state, root: Path, manifest: Path, batch_size: int) -> float:
         pc = jnp.asarray(np.array(lens_b[i : i + batch_size] + [TPAD] * pad,
                                   np.float32) / TPAD)
         lp, out_lens = fwd(xb, pc)
+        lp_np, lens_np = np.asarray(lp, np.float32), np.asarray(out_lens)
         hyps += greedy_decode_to_strings(
-            np.argmax(np.asarray(lp), -1), np.asarray(out_lens),
-            LABELS, len(LABELS))[: len(chunk)]
+            np.argmax(lp_np, -1), lens_np, LABELS, len(LABELS))[: len(chunk)]
+        confs += sum_logprob(lp_np, lens_np)[: len(chunk)].tolist()
+    return stems, refs, hyps, confs
+
+
+def dev_cer(model, state, root: Path, manifest: Path, batch_size: int) -> float:
+    """Greedy-decode a feature corpus and return corpus CER."""
+    from lightning_asr_tpu.metrics.wer import word_error_rate
+
+    _, refs, hyps, _ = decode_corpus(model, state, root, manifest, batch_size)
     return float(word_error_rate(hyps, refs, use_cer=True))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--utts", type=int, default=768)
+    ap.add_argument("--utts", type=int, default=768,
+                    help="labeled training utterances")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch_size", type=int, default=16)
     # threshold calibrated on the chip (confidence = negative mean max
@@ -129,6 +143,24 @@ def main() -> None:
     # 0.18 keeps most clean and rejects most corrupted.  (The reference's
     # 0.01 is tuned for real wav2vec posteriors, train_ssl.py:233.)
     ap.add_argument("--threshold", type=float, default=0.18)
+    # Low-label regime (VERDICT r3 #2): few labels + a LARGE clean unlabeled
+    # pool — the configuration pseudo-labeling exists for
+    # (/root/reference/train_ssl.py:223-260).  --pool_clean defaults to
+    # utts//3 (the r2/r3 smoke shape); the low-label run passes e.g.
+    # --utts 320 --pool_clean 2560 --pseudo_start_frac 0.3 so injection has
+    # both coverage to add and epochs to exploit it.
+    ap.add_argument("--pool_clean", type=int, default=0,
+                    help="clean unlabeled pool size (0 -> utts//3)")
+    ap.add_argument("--pool_corrupt", type=int, default=0,
+                    help="corrupted pool size (0 -> utts//3)")
+    ap.add_argument("--dev_utts", type=int, default=0, help="0 -> utts//3")
+    ap.add_argument("--pseudo_start_frac", type=float, default=0.75,
+                    help="fraction of training after which injection starts")
+    ap.add_argument("--pseudo_every", type=int, default=3)
+    ap.add_argument("--mode", choices=("smoke", "low_label"), default="smoke",
+                    help="low_label requires injection to WIN (>=10%% "
+                         "relative dev-CER gain), not just not-hurt")
+    ap.add_argument("--out", type=str, default="SSL_SMOKE.json")
     args = ap.parse_args()
 
     import jax
@@ -146,10 +178,12 @@ def main() -> None:
 
     root = Path(tempfile.mkdtemp(prefix="ssl_smoke_"))
     train_manifest = make_corpus(root, args.utts, 1, "train", patterns)
-    pool_n = max(args.utts // 3, 8)
-    clean_manifest = make_corpus(root, pool_n, 2, "pseudo", patterns)
-    corrupt_manifest = make_corpus(root, pool_n, 4, "corrupt", None)
-    dev_manifest = make_corpus(root, max(args.utts // 3, 16), 3, "dev", patterns)
+    pool_clean = args.pool_clean or max(args.utts // 3, 8)
+    pool_corrupt = args.pool_corrupt or max(args.utts // 3, 8)
+    clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns)
+    corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None)
+    dev_manifest = make_corpus(root, args.dev_utts or max(args.utts // 3, 16),
+                               3, "dev", patterns)
 
     def run_arm(inject: bool):
         dm = SSLDataModule(
@@ -182,9 +216,9 @@ def main() -> None:
             # exercise the pseudo loop well before the reference's epoch-300
             # gate, but late enough that decodes are confident, with a
             # meaningfully strict threshold (reference: 0.01)
-            pseudo_start_epoch=(max(3 * args.epochs // 4, 2)
+            pseudo_start_epoch=(max(int(args.pseudo_start_frac * args.epochs), 2)
                                 if inject else args.epochs + 1),
-            pseudo_every_n_epochs=3,
+            pseudo_every_n_epochs=args.pseudo_every,
             pseudo_confidence_threshold=args.threshold,
             hparams={"labels": LABELS, "feature_in": 512, "in_c": 64},
         )
@@ -199,43 +233,91 @@ def main() -> None:
     cer_train = dev_cer(model, state, root, train_manifest, args.batch_size)
     cer_inject = dev_cer(model, state, root, dev_manifest, args.batch_size)
 
+    # quality of the labels that were actually injected: kept-clean pseudo
+    # texts vs the clean pool's TRUE transcripts (known — we generated them)
+    from lightning_asr_tpu.metrics.wer import word_error_rate
+
+    true_clean = {Path(json.loads(l)["audio_filepath"]).stem: json.loads(l)["text"]
+                  for l in open(clean_manifest)}
+    kept_pairs = [(e.text, true_clean[Path(e.audio_filepath).stem])
+                  for e in dm.pseudo_entries
+                  if Path(e.audio_filepath).stem in true_clean]
+    kept_clean_label_cer = (float(word_error_rate(
+        [h for h, _ in kept_pairs], [r for _, r in kept_pairs], use_cer=True))
+        if kept_pairs else None)
+
     # --- arm 2: control, injection disabled, otherwise identical
     _, model_c, state_c, _ = run_arm(inject=False)
     cer_control = dev_cer(model_c, state_c, root, dev_manifest, args.batch_size)
 
+    # post-hoc threshold sweep: score the whole pool with the CONTROL model
+    # (the model a fresh injection decision would be made by) and tabulate
+    # keep-rates + kept-label quality per candidate threshold
+    sweep = []
+    c_stems, c_refs, c_hyps, c_confs = decode_corpus(
+        model_c, state_c, root, clean_manifest, args.batch_size)
+    x_stems, _, _, x_confs = decode_corpus(
+        model_c, state_c, root, corrupt_manifest, args.batch_size)
+    for th in (0.10, 0.14, 0.18, 0.22, 0.26):
+        kc = [i for i, c in enumerate(c_confs) if c <= th]
+        kx = sum(1 for c in x_confs if c <= th)
+        cer_k = (float(word_error_rate([c_hyps[i] for i in kc],
+                                       [c_refs[i] for i in kc], use_cer=True))
+                 if kc else None)
+        sweep.append({"threshold": th,
+                      "kept_clean_pct": round(100.0 * len(kc) / pool_clean, 1),
+                      "kept_corrupted_pct": round(100.0 * kx / pool_corrupt, 1),
+                      "kept_clean_label_cer": cer_k})
+
     report = {
-        "utts": args.utts, "epochs": args.epochs,
+        "mode": args.mode,
+        "labeled_utts": args.utts, "epochs": args.epochs,
         "confidence_threshold": args.threshold,
-        "pseudo_pool_clean": pool_n,
-        "pseudo_pool_corrupted": pool_n,
+        "pseudo_start_epoch": max(int(args.pseudo_start_frac * args.epochs), 2),
+        "pseudo_every_n_epochs": args.pseudo_every,
+        "pseudo_pool_clean": pool_clean,
+        "pseudo_pool_corrupted": pool_corrupt,
         "kept_clean": int(kept_clean),
         "kept_corrupted": int(kept_corrupt),
-        "kept_clean_pct": round(100.0 * kept_clean / pool_n, 1),
-        "kept_corrupted_pct": round(100.0 * kept_corrupt / pool_n, 1),
+        "kept_clean_pct": round(100.0 * kept_clean / pool_clean, 1),
+        "kept_corrupted_pct": round(100.0 * kept_corrupt / pool_corrupt, 1),
+        "kept_clean_label_cer": kept_clean_label_cer,
         "train_cer": cer_train,
         "dev_cer_with_pseudo": cer_inject,
         "dev_cer_control": cer_control,
         "pseudo_delta_cer": cer_inject - cer_control,
+        "pseudo_rel_gain_pct": (round(100.0 * (cer_control - cer_inject)
+                                      / cer_control, 1)
+                                if cer_control > 0 else None),
+        "threshold_sweep_on_control_model": sweep,
         "device": str(jax.devices()[0]),
         "note": ("train_cer gates learnability; dev CER measures "
-                 "generalization of a model this size on a synthetic toy "
-                 "corpus (expect partial memorization) — the control delta "
-                 "is the meaningful dev-side signal."),
+                 "generalization on the synthetic toy corpus — the control "
+                 "delta is the meaningful dev-side signal.  low_label mode "
+                 "is the regime the technique exists for: few labels, large "
+                 "clean pool, injection early enough to be exploited."),
     }
     # Gates: learnability (train CER), selectivity (clean kept, corrupted
     # mostly rejected — the keep-ratio gate is primary; the absolute cap at
-    # 30% bounds confidently-wrong leakage), and "don't hurt" (injection
-    # within noise of control).
+    # 30% bounds confidently-wrong leakage), and the injection gate:
+    # "don't hurt" for the smoke, ">=10% relative dev-CER win" in low-label
+    # mode (VERDICT r3 #2).
     gates = {
         "learnability": cer_train < 0.08,
-        "clean_mostly_kept": kept_clean >= pool_n // 2,
-        "selectivity_ratio": kept_clean >= 2 * max(kept_corrupt, 1),
-        "corrupted_mostly_rejected": kept_corrupt <= int(0.3 * pool_n),
-        "injection_not_harmful": cer_inject <= cer_control + 0.02,
+        "clean_mostly_kept": kept_clean >= pool_clean // 2,
+        "selectivity_ratio": kept_clean * pool_corrupt
+                             >= 2 * max(kept_corrupt, 1) * pool_clean,
+        "corrupted_mostly_rejected": kept_corrupt <= int(0.3 * pool_corrupt),
     }
+    if args.mode == "low_label":
+        gates["injection_wins"] = (cer_inject < cer_control
+                                   and (cer_control - cer_inject)
+                                   >= 0.10 * cer_control)
+    else:
+        gates["injection_not_harmful"] = cer_inject <= cer_control + 0.02
     report["gates"] = gates
     report["ok"] = all(gates.values())
-    out = Path(__file__).resolve().parents[1] / "SSL_SMOKE.json"
+    out = Path(__file__).resolve().parents[1] / args.out
     out.write_text(json.dumps(report, indent=2) + "\n")
     print(json.dumps(report))
     print("SSL SMOKE OK" if report["ok"] else "SSL SMOKE WEAK", file=sys.stderr)

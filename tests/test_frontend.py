@@ -219,3 +219,41 @@ def test_logmel_matches_recorded_goldens():
         # summation-order effects; they are zero-information after the
         # per-utterance normalization that always follows
         assert err.max() < 2.0, name
+
+
+def test_logmel_within_float32_oracle_band():
+    """VERDICT r3 #3: the goldens carry a SECOND arm — the same torchaudio
+    0.8.1 formulas in float32, torchaudio's ACTUAL compute dtype (its
+    transforms are plain float32 torch ops over torch.stft; nothing
+    upcasts).  Our device output must sit inside that arm's own numeric
+    noise: per golden, device-vs-fp32 error on audible cells is bounded by
+    max(2e-3 dB, 4x the fp32-vs-fp64 oracle spread).  Measured bands at
+    recording time (dB, loud cells > -50): fp32-vs-fp64 <= 1.4e-3; see
+    scripts/record_frontend_goldens.py.  Reference pipeline:
+    /root/reference/data_module.py:68-71."""
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "goldens" / "frontend_goldens.npz"
+    data = np.load(path)
+    assert str(data["oracle_f32"]) == "float32-torch-reconstruction"
+    names = sorted(k.split("/", 1)[1] for k in data.files if k.startswith("wave/"))
+    deltas = {}
+    for name in names:
+        wave = data[f"wave/{name}"]
+        truth64 = data[f"logmel/{name}"]
+        oracle32 = data[f"logmel_f32/{name}"]
+        mels, mel_lens = log_mel_spectrogram(
+            jnp.asarray(wave)[None, :], jnp.asarray([int(wave.shape[0])], jnp.int32), CFG)
+        ours = np.asarray(mels[0, : oracle32.shape[1]]).T
+        loud = truth64 > -50.0
+        if not loud.any():
+            continue
+        dev_err = np.abs(ours - oracle32)[loud].max()
+        oracle_band = np.abs(oracle32 - truth64)[loud].max()
+        deltas[name] = {"device_vs_fp32_db": float(dev_err),
+                        "fp32_vs_fp64_db": float(oracle_band)}
+        assert dev_err < max(2e-3, 4.0 * oracle_band), (name, deltas[name])
+        # everywhere (incl. spectral nulls): same 2 dB cap as the truth arm
+        assert np.abs(ours - oracle32).max() < 2.0, name
+    # record the measured deltas for the artifact trail
+    print("device-vs-fp32 oracle deltas (dB):", deltas)

@@ -186,3 +186,79 @@ def test_warmup_covers_padded_max_batch(checkpoint_dir):
     seen.clear()
     tr.warmup(seconds=(1.0,), max_batch=8)  # exact power of two: no overshoot
     assert max(seen) == 8, seen
+
+
+class _FakeTranslator:
+    """Minimal AsrTranslator stand-in for batcher-level tests (no model)."""
+
+    class _FE:
+        sample_rate = 16000
+
+    frontend = _FE()
+
+    def __init__(self, delay=0.0):
+        self.delay = delay
+        self.calls = []
+
+    def transcribe_batch(self, waves):
+        import time as _t
+
+        if self.delay:
+            _t.sleep(self.delay)
+        self.calls.append(len(waves))
+        return [f"len{w.shape[0]}" for w in waves]
+
+
+def _wav_bytes(n=1600, sr=16000):
+    import struct
+
+    pcm = b"\x00\x00" * n
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def test_dynamic_batcher_sheds_on_overload():
+    """Bounded queue: overflow raises ServerOverloaded (HTTP 503) instead of
+    queueing unboundedly (VERDICT r3 #4 — c32 latency collapse)."""
+    import concurrent.futures
+
+    from lightning_asr_tpu.inference.server import DynamicBatcher, ServerOverloaded
+
+    tr = _FakeTranslator(delay=0.3)
+    b = DynamicBatcher(tr, max_batch=1, max_wait_ms=1, max_queue=2)
+    blob = _wav_bytes()
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        futs = [pool.submit(b.translate, blob) for _ in range(8)]
+        results, shed = [], 0
+        for f in futs:
+            try:
+                results.append(f.result(timeout=30))
+            except ServerOverloaded:
+                shed += 1
+    assert shed >= 1, "no request was shed at 8x overload of a queue of 2"
+    assert all(r == "len1600" for r in results)
+
+
+def test_dynamic_batcher_decodes_batch_and_rejects_bad_rows():
+    """The worker decodes per device batch (native pool when available);
+    malformed bodies and wrong sample rates fail their own request with
+    ValueError without poisoning batch-mates."""
+    import concurrent.futures
+
+    from lightning_asr_tpu.inference.server import DynamicBatcher
+
+    tr = _FakeTranslator()
+    b = DynamicBatcher(tr, max_batch=4, max_wait_ms=50)
+    good = _wav_bytes(3200)
+    bad = b"definitely not a wav"
+    wrong_sr = _wav_bytes(800, sr=8000)
+    with concurrent.futures.ThreadPoolExecutor(3) as pool:
+        f_good = pool.submit(b.translate, good)
+        f_bad = pool.submit(b.translate, bad)
+        f_sr = pool.submit(b.translate, wrong_sr)
+        assert f_good.result(timeout=30) == "len3200"
+        with pytest.raises(ValueError):
+            f_bad.result(timeout=30)
+        with pytest.raises(ValueError):
+            f_sr.result(timeout=30)

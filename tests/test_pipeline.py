@@ -408,3 +408,54 @@ def test_mmap_cache_staleness_and_writer_lock(tmp_path):
     out = subprocess.run([sys_mod.executable, "-c", code], capture_output=True,
                          text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert "NO-LOCK" in out.stdout, out.stdout + out.stderr
+
+
+def test_wave_crop_in_graph_semantics():
+    """ops.augment.wave_crop (device_cache replay crop) reproduces the
+    reference sub_secquence semantics in-graph: window [offset, target),
+    target >= 0.98*len, rows shifted to start 0, zero tail, preemph prev
+    sample = wave[offset-1] (/root/reference/data_module.py:138-148)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_asr_tpu.ops.augment import wave_crop
+
+    B, S = 8, 4000
+    lens = np.asarray([4000, 3500, 3000, 2500, 2000, 1500, 1000, 500], np.int32)
+    # distinct, strictly positive samples so offsets are recoverable
+    waves = (np.arange(S, dtype=np.float32)[None, :] + 1.0).repeat(B, axis=0)
+    for i, n in enumerate(lens):
+        waves[i, n:] = 0.0
+    out, new_lens, prevs = jax.jit(wave_crop)(
+        jnp.asarray(waves), jnp.asarray(lens), jax.random.PRNGKey(3))
+    out, new_lens, prevs = np.asarray(out), np.asarray(new_lens), np.asarray(prevs)
+    for i, n in enumerate(lens):
+        nl = int(new_lens[i])
+        offset = int(out[i, 0] - 1.0)  # first kept sample recovers offset
+        target = offset + nl
+        assert 0 < nl <= n
+        assert target >= int(n * 0.98) - 1, (i, target, n)  # reference floor
+        assert target <= n
+        assert 0 <= offset <= n - target + 1
+        np.testing.assert_array_equal(out[i, :nl], waves[i, offset:offset + nl])
+        assert not out[i, nl:].any(), i  # zero tail
+        expect_prev = waves[i, offset - 1] if offset > 0 else 0.0
+        np.testing.assert_allclose(prevs[i], expect_prev, rtol=1e-6)
+
+
+def test_wave_crop_int16_wire():
+    """int16 wire batches crop in-graph too; prev sample is rescaled to the
+    float domain the frontend's preemphasis expects."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_asr_tpu.ops.augment import wave_crop
+
+    rng = np.random.default_rng(0)
+    waves = rng.integers(-3000, 3000, size=(4, 2000)).astype(np.int16)
+    lens = np.full(4, 2000, np.int32)
+    out, new_lens, prevs = jax.jit(wave_crop)(
+        jnp.asarray(waves), jnp.asarray(lens), jax.random.PRNGKey(0))
+    assert np.asarray(out).dtype == np.int16
+    assert prevs.dtype == jnp.float32
+    assert float(np.abs(np.asarray(prevs)).max()) <= 1.0

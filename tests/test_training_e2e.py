@@ -183,3 +183,8 @@ def test_device_cache_epochs(corpus, tmp_path):
     assert int(state.nan_count) == 0
     # replay must reshuffle: epoch stats show the same batch count
     assert all(s["batches"] == 2 for s in trainer.epoch_stats)
+    # the exact-recipe crop path (VERDICT r3 #6): staged batches are
+    # UNCROPPED (host crop off) and the step re-rolls the reference crop
+    # in-graph every replay
+    assert trainer._crop_in_graph is True
+    assert dm.crop is False
