@@ -232,6 +232,69 @@ def _novograd_fused(learning_rate, beta1, beta2, eps, weight_decay,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def migrate_novograd_opt_state(raw_opt, params, target_opt_state):
+    """Convert a raw-restored NovoGrad optimizer state (a dict of field
+    name -> array/tree, as orbax restores without a template) into the
+    structure of ``target_opt_state`` — across the fused/per-tensor variant
+    boundary.
+
+    The fused flat layout is DETERMINISTIC from the params tree
+    (``_FlatLayout``), so the conversion is exact: the (n_chunks, 2048)
+    momentum buffer unflattens to the per-tensor float32 momentum tree and
+    the (n_tensors,) second moments map to the tree-ordered per-tensor
+    scalars, and vice versa.  This is what makes topology-change restores
+    work out of the box: dp checkpoints default to the fused variant while
+    tensor parallelism requires per-tensor (``parallel/tp.py`` — the flat
+    buffer has no channel structure to shard), so "save on dp8, restore on
+    dp4 x tp2" crosses this boundary (VERDICT r3 #5a).
+    """
+    layout = _FlatLayout(params)
+    count = jnp.asarray(raw_opt["count"], jnp.int32)
+    raw_m = raw_opt["exp_avg"]
+    src_fused = hasattr(raw_m, "shape") and getattr(raw_m, "ndim", 0) == 2
+
+    def _scalars_to_vec(tree) -> jnp.ndarray:
+        leaves = layout.treedef.flatten_up_to(tree)
+        return jnp.stack([jnp.asarray(l, jnp.float32).reshape(()) for l in leaves])
+
+    def _vec_to_scalars(vec):
+        vec = jnp.asarray(vec, jnp.float32)
+        return layout.treedef.unflatten([vec[i] for i in range(layout.n_tensors)])
+
+    def _unflatten_f32(buf):
+        flat = jnp.asarray(buf, jnp.float32).reshape(-1)
+        leaves = []
+        for shape, n, off in zip(layout.shapes, layout.sizes, layout.chunk_offsets):
+            leaves.append(jax.lax.dynamic_slice_in_dim(
+                flat, off * _CHUNK, n).reshape(shape))
+        return layout.treedef.unflatten(leaves)
+
+    if isinstance(target_opt_state, FusedNovogradState):
+        if src_fused:
+            return FusedNovogradState(
+                count, jnp.asarray(raw_m, jnp.float32),
+                jnp.asarray(raw_opt["exp_avg_sq"], jnp.float32),
+                jnp.asarray(raw_opt["max_exp_avg_sq"], jnp.float32))
+        return FusedNovogradState(
+            count, layout.flatten(raw_m),
+            _scalars_to_vec(raw_opt["exp_avg_sq"]),
+            _scalars_to_vec(raw_opt["max_exp_avg_sq"]))
+    if isinstance(target_opt_state, NovogradState):
+        if src_fused:
+            return NovogradState(
+                count, _unflatten_f32(raw_m),
+                _vec_to_scalars(raw_opt["exp_avg_sq"]),
+                _vec_to_scalars(raw_opt["max_exp_avg_sq"]))
+        return NovogradState(
+            count,
+            jax.tree.map(lambda t, v: jnp.asarray(v, jnp.float32),
+                         target_opt_state.exp_avg, raw_m),
+            _vec_to_scalars(_scalars_to_vec(raw_opt["exp_avg_sq"])),
+            _vec_to_scalars(_scalars_to_vec(raw_opt["max_exp_avg_sq"])))
+    raise TypeError(
+        f"cannot migrate NovoGrad state into {type(target_opt_state).__name__}")
+
+
 def novograd_with_runtime_lr(learning_rate: float, **kwargs) -> "optax.GradientTransformation":
     """NovoGrad wrapped in ``optax.inject_hyperparams`` with ONLY the
     learning rate dynamic — the ReduceLROnPlateau recipe's requirement

@@ -30,7 +30,17 @@ parallelism — the per-tensor variant's momentum tree mirrors the params
 tree, so these same rules shard it leaf-for-leaf.  The fused flat-buffer
 variant concatenates every tensor into one (n_chunks, 2048) buffer, which
 has no channel structure to shard (it would still be *correct* via GSPMD
-resharding, just wasteful).
+resharding, just wasteful).  The cost is KNOWN and bounded: on the real
+v5e chip (dp-only, B32 x 16.7 s) the per-tensor update measures 4.50 ms
+vs the fused 2.44 ms — a +2.06 ms/step ceiling on the tp optimizer
+penalty (under tp the per-tensor moments shard with their params, so the
+per-chip update shrinks with 1/tp while the fused buffer would not).
+Checkpoints cross the variant boundary losslessly:
+``optim.novograd.migrate_novograd_opt_state`` converts fused <->
+per-tensor exactly (the flat layout is deterministic), and
+``CheckpointManager.restore`` applies it automatically, so "save on dp8
+(fused default), restore on dp4 x tp2 (per-tensor)" just works —
+``tests/test_tensor_parallel.py::test_topology_change_restore_dp_to_tp``.
 
 Numerics: channel-sharded BN and psum'd gradients change float summation
 order, so dp x tp results match dp-only results to ~1e-5 (tested in

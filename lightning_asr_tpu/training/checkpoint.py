@@ -101,11 +101,51 @@ class CheckpointManager:
         return str(p) if p.exists() else None
 
     def restore(self, target_state: Any, which: str = "last") -> tuple[Any, dict]:
-        """Restore into the structure of `target_state` (abstract template)."""
+        """Restore into the structure of `target_state` (abstract template).
+
+        Falls back to an exact NovoGrad fused<->per-tensor optimizer-state
+        migration when the template's opt-state VARIANT differs from the
+        saved one — the topology-change workflow: dp checkpoints default to
+        the fused variant, tensor-parallel runs require per-tensor
+        (``optim.novograd.migrate_novograd_opt_state``)."""
         path = Path(which)
         if not path.is_absolute():
             path = self.directory / which
-        return load_checkpoint(path, target_state)
+        try:
+            return load_checkpoint(path, target_state)
+        except Exception as template_err:
+            try:
+                raw, meta = load_checkpoint(path, None)
+                state = _rebuild_with_opt_migration(raw, target_state)
+            except Exception:
+                raise template_err
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "restored %s with a NovoGrad fused<->per-tensor opt-state "
+                "migration (optimizer variant changed, e.g. dp -> tp)", path)
+            return state, meta
+
+
+def _rebuild_with_opt_migration(raw: dict, target_state: Any) -> Any:
+    """Rebuild a train state from a template-free orbax restore, migrating
+    the NovoGrad optimizer state across the fused/per-tensor boundary."""
+    import jax.numpy as jnp
+
+    from ..optim.novograd import migrate_novograd_opt_state
+
+    def cast_like(template, value):
+        return jax.tree.map(lambda t, v: jnp.asarray(v, t.dtype), template, value)
+
+    opt_state = migrate_novograd_opt_state(
+        raw["opt_state"], raw["params"], target_state.opt_state)
+    return target_state.replace(
+        step=jnp.asarray(raw["step"], jnp.int32),
+        params=cast_like(target_state.params, raw["params"]),
+        batch_stats=cast_like(target_state.batch_stats, raw["batch_stats"]),
+        opt_state=opt_state,
+        nan_count=jnp.asarray(raw["nan_count"], jnp.int32),
+    )
 
 
 def load_checkpoint(path: str | Path, target_state: Any = None) -> tuple[Any, dict]:

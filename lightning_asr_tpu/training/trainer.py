@@ -148,16 +148,15 @@ class Trainer:
             crop_in_graph = True
         self._crop_in_graph = crop_in_graph
 
-        self._train_step = jax.jit(
-            make_train_step(
-                model, optimizer, self.vocab.blank_id, frontend,
-                augment=augment, freq_mask=freq_mask, time_mask=time_mask,
-                from_features=from_features, normalize=normalize,
-                crop=crop_in_graph,
-                crop_weight=getattr(datamodule, "crop_weight", 0.98),
-            ),
-            donate_argnums=(0,),
+        self._train_fn = make_train_step(
+            model, optimizer, self.vocab.blank_id, frontend,
+            augment=augment, freq_mask=freq_mask, time_mask=time_mask,
+            from_features=from_features, normalize=normalize,
+            crop=crop_in_graph,
+            crop_weight=getattr(datamodule, "crop_weight", 0.98),
         )
+        self._train_step = jax.jit(self._train_fn, donate_argnums=(0,))
+        self._train_step_pinned = None  # built lazily for tp meshes
         self._eval_step = jax.jit(
             make_eval_step(model, self.vocab.blank_id, frontend,
                            from_features=from_features, normalize=normalize)
@@ -193,18 +192,26 @@ class Trainer:
     def _check_shard_layout(self) -> None:
         """The multi-host batcher hands each process the contiguous row-slice
         [rank*rpp, (rank+1)*rpp) of the global batch; that is only correct if
-        the mesh's device order is process-major. Verify once at init."""
+        the mesh's device order is process-major along the data axis. Verify
+        once at init.  On a dp x tp mesh each row is replicated over the
+        'model' axis, so the check is on the UNION of rows this process's
+        devices own, not one-row-per-device."""
         n_dev = self.mesh.devices.size
-        probe = (n_dev,)  # one row per device
+        probe = (n_dev,)  # n_dev rows, sharded over 'data' only
         idx_map = self._batch_sharding.addressable_devices_indices_map(probe)
-        rows = sorted(s[0].start if s[0].start is not None else 0 for s in idx_map.values())
+        owned: set[int] = set()
+        for s in idx_map.values():
+            start = s[0].start if s[0].start is not None else 0
+            stop = s[0].stop if s[0].stop is not None else n_dev
+            owned.update(range(start, stop))
         rpp = n_dev // self._n_procs
-        expect = [jax.process_index() * rpp + i for i in range(rpp)]
-        if rows != expect:
+        expect = set(range(jax.process_index() * rpp, (jax.process_index() + 1) * rpp))
+        if owned != expect:
             raise RuntimeError(
                 f"mesh device order is not process-major: process "
-                f"{jax.process_index()} owns rows {rows}, expected {expect}; "
-                "build the mesh from jax.devices() default order for multi-host runs")
+                f"{jax.process_index()} owns rows {sorted(owned)}, expected "
+                f"{sorted(expect)}; build the mesh from jax.devices() default "
+                "order for multi-host runs")
 
     # ------------------------------------------------------------------
     def init_state(self) -> AsrTrainState:
@@ -328,20 +335,37 @@ class Trainer:
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return state.replace(opt_state=opt_state)
 
+    def _pinned_train_step(self, state):
+        """Jitted train step with the state OUTPUT shardings pinned to the
+        tp placement rules.  Without the pin, GSPMD is free to choose
+        different shardings for unannotated outputs (observed: the
+        replicated vocab head coming back model-sharded), which breaks the
+        AOT executable's second call and silently re-specializes plain jit
+        every step on tp meshes."""
+        if self._train_step_pinned is None:
+            from ..parallel.tp import tp_state_sharding
+
+            out_sh = (tp_state_sharding(state, self.mesh), None)
+            self._train_step_pinned = jax.jit(
+                self._train_fn, donate_argnums=(0,), out_shardings=out_sh)
+        return self._train_step_pinned
+
     def _run_train_step(self, state, dev_batch, rng):
         """Execute one train step; in multi-process mode, compile new batch
         shapes ahead-of-time and barrier (coordination service) before their
         first execution so every process reaches the collective's context
         init together regardless of compile-time skew."""
         if self._n_procs == 1:
+            step = self._pinned_train_step(state) if self._tp > 1 else self._train_step
             with self._tp_scope():
-                return self._train_step(state, dev_batch, rng)
+                return step(state, dev_batch, rng)
         key = (dev_batch["waves"].shape, dev_batch["waves"].dtype.name,
                dev_batch["targets"].shape)
         exe = self._aot_train_steps.get(key)
         if exe is None:
+            step = self._pinned_train_step(state) if self._tp > 1 else self._train_step
             with self._tp_scope():
-                exe = self._train_step.lower(state, dev_batch, rng).compile()
+                exe = step.lower(state, dev_batch, rng).compile()
             # Name the barrier by the batch-shape key itself — deterministic
             # across processes even if they encounter shapes in different
             # orders (a compile-order-derived name deadlocks silently on any

