@@ -170,6 +170,14 @@ def main() -> None:
     if headline_flops is not None and np.isfinite(headline_flops) and headline_flops > 0:
         import os
 
+        from lightning_asr_tpu.ops.frontend import mel_num_frames, mel_pallas_enabled
+
+        if mel_pallas_enabled():
+            # the fused DFT+power+mel Pallas kernel's MXU work is a custom
+            # call XLA's cost analysis cannot see — add its semantic FLOPs
+            # back so mfu stays comparable across kernel on/off
+            T_mel = int(mel_num_frames(int(16.7 * 16000)))
+            headline_flops += 2 * 32 * T_mel * 512 * 514 + 2 * 32 * T_mel * 257 * 64
         peak = float(os.environ.get("LASR_PEAK_TFLOPS", "197")) * 1e12
         mfu = round(headline_flops * headline / (32 * 16.7) / peak, 4)
 

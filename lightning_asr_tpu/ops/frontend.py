@@ -97,6 +97,20 @@ class MelFrontendConfig:
 
 
 _FRONTEND_PALLAS = os.environ.get("LASR_FRONTEND_PALLAS", "0") == "1"
+_MEL_PALLAS = os.environ.get("LASR_MEL_PALLAS", "1") == "1"
+
+
+def mel_pallas_enabled() -> bool:
+    """Fused DFT+power+mel Pallas kernel for the TRAINING ("default"
+    precision) tier (``ops/frontend_pallas.py::mel_from_extended``).
+    Default on; disable with LASR_MEL_PALLAS=0.  The "highest"/"high"
+    parity tiers always use the XLA path."""
+    return _MEL_PALLAS
+
+
+def set_mel_pallas(on: bool) -> None:
+    global _MEL_PALLAS
+    _MEL_PALLAS = bool(on)
 
 
 def frontend_pallas_enabled() -> bool:
@@ -234,13 +248,31 @@ def _preemphasis(waves: jnp.ndarray, prev_samples: Optional[jnp.ndarray], coeff:
     return waves - coeff * prev
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def log_mel_spectrogram(
     waves: jnp.ndarray,
     wave_lens: jnp.ndarray,
     cfg: MelFrontendConfig = MelFrontendConfig(),
     rng: Optional[jax.Array] = None,
     prev_samples: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched log-mel frontend (resolves the Pallas-kernel gates into the
+    jit cache key — a flipped gate must not hit a stale executable)."""
+    return _log_mel_impl(waves, wave_lens, cfg, rng, prev_samples,
+                         _mel_pallas_now(cfg))
+
+
+def _mel_pallas_now(cfg: MelFrontendConfig) -> bool:
+    return mel_pallas_enabled() and cfg.precision == "default"
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_mel_pallas"))
+def _log_mel_impl(
+    waves: jnp.ndarray,
+    wave_lens: jnp.ndarray,
+    cfg: MelFrontendConfig = MelFrontendConfig(),
+    rng: Optional[jax.Array] = None,
+    prev_samples: Optional[jnp.ndarray] = None,
+    use_mel_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched log-mel frontend.
 
@@ -285,6 +317,17 @@ def log_mel_spectrogram(
         if needed > S_ext:
             q = jnp.concatenate(
                 [q, jnp.zeros((B, needed - S_ext), q.dtype)], axis=1)
+
+    if use_mel_pallas:
+        # fused DFT+power+mel+dB Pallas kernel (training tier): spectrum
+        # tiles stay in VMEM instead of materializing (B, T, 2F) fp32
+        # spectra in HBM — roofline win, see ops/frontend_pallas.py
+        from .frontend_pallas import mel_from_extended
+
+        log_mel = mel_from_extended(q, cfg, T)
+        mel_lens = (1 + (wave_lens + 2 * cfg.pad + 2 * (cfg.n_fft // 2)
+                         - cfg.n_fft) // cfg.hop_length).astype(jnp.int32)
+        return log_mel, mel_lens
 
     # fp32 storage throughout; cfg.precision only selects the MXU pass count
     # ("default" = 1-pass bf16 multiplies).  An all-bf16-storage variant was

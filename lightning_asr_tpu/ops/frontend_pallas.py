@@ -166,3 +166,109 @@ def extend_preemph(
     )(waves[:, None, :], lens[:, None, None], prev[:, None, None],
       head[:, None, :], tail[:, None, :])
     return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Fused DFT + power + mel + dB kernel (the frontend's heavy half).
+#
+# The XLA path materializes the full (B, T, 2F) fp32 spectrum (110 MB at the
+# bench shapes) plus the power tensor before the tiny mel projection — the
+# roofline trace attributes ~2.2 ms/step to the frontend, ~5x its bandwidth
+# bound (ROOFLINE.json).  This kernel tiles T and keeps the spectrum tile in
+# VMEM: per (batch-row, 256-frame) tile it builds the overlapping frames
+# from a (260, hop) view via static sublane slices, runs the windowed-DFT
+# matmuls (bf16 multiplies, fp32 accumulation — the "default" training
+# tier's exact semantics), squares into power, projects through the mel
+# filterbank, and writes ONLY the (256, n_mels) log-mel tile.  HBM traffic
+# drops from ~3 full spectra to waves-in + mels-out.
+#
+# Numerics: identical operation order to the XLA default tier up to the
+# chunked-vs-single contraction split (both bf16-multiply/fp32-accumulate);
+# parity is gated on the real chip by scripts/pallas_parity.py and in
+# tests (interpret mode) against the XLA tier.
+# ---------------------------------------------------------------------------
+
+_MEL_TT = 256  # frames per tile
+
+
+def _mel_kernel(q_ref, filt_ref, fb_ref, out_ref, *, n_chunks: int,
+                hop: int, amin: float):
+    v = q_ref[0]                                        # (TT + n_chunks, hop)
+    # frame i = q[i*hop : i*hop + n_chunks*hop][: n_fft]: n_chunks
+    # accumulating hop-wide dots over static sublane-shifted slices — the
+    # SAME chunked contraction order as the XLA default tier (Mosaic cannot
+    # lane-concat slices whose layouts carry different sublane offsets)
+    spec = None
+    for j in range(n_chunks):
+        xj = v[j : j + _MEL_TT].astype(jnp.bfloat16)    # (TT, hop)
+        wj = filt_ref[j * hop : (j + 1) * hop]          # (hop, 2*FPAD)
+        d = jnp.dot(xj, wj, preferred_element_type=jnp.float32)
+        spec = d if spec is None else spec + d          # (TT, 2*FPAD)
+    half = filt_ref.shape[1] // 2
+    power = spec[:, :half] ** 2 + spec[:, half:] ** 2   # (TT, FPAD)
+    mel = jnp.dot(power.astype(jnp.bfloat16), fb_ref[...],
+                  preferred_element_type=jnp.float32)   # (TT, 128)
+    out_ref[0] = 10.0 * jnp.log10(jnp.maximum(mel, amin))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "T", "interpret"))
+def mel_from_extended(q: jnp.ndarray, cfg: MelFrontendConfig, T: int,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """(B, >=needed) extended/preemphasized signal -> (B, T, n_mels) log-mel
+    dB, fused in VMEM.  Training ("default" precision) tier only."""
+    from .frontend import dft_filters, mel_filterbank
+
+    if interpret is None:
+        interpret = _interpret_default()
+    B, _ = q.shape
+    hop, n_fft, n_mels = cfg.hop_length, cfg.n_fft, cfg.n_mels
+    n_chunks = -(-n_fft // hop)
+    n_tiles = -(-T // _MEL_TT)
+    rows_per_tile = _MEL_TT + n_chunks
+    need = n_tiles * _MEL_TT * hop + n_chunks * hop
+    if q.shape[1] < need:
+        q = jnp.concatenate(
+            [q, jnp.zeros((B, need - q.shape[1]), q.dtype)], axis=1)
+
+    # overlapping (260, hop) tile views; the copy is ~1.25x the waveform
+    # bytes — negligible next to the spectra the XLA path materializes
+    tiles = jnp.stack(
+        [q[:, i * _MEL_TT * hop : i * _MEL_TT * hop + rows_per_tile * hop]
+         for i in range(n_tiles)], axis=1)              # (B, n_tiles, rows*hop)
+    tiles = tiles.reshape(B * n_tiles, rows_per_tile, hop)
+
+    # filters, transposed + lane-padded so the power split lands on
+    # 128-multiples: FPAD = round_up(n_freqs, 128); cols [0:F) cos,
+    # [FPAD:FPAD+F) -sin, zero elsewhere.  Rows padded to n_chunks*hop so
+    # the kernel's per-chunk row slices stay in range (rows past n_fft are
+    # zero — the final partial chunk contributes nothing there).
+    F = cfg.n_freqs
+    FPAD = _round_up(F, 128)
+    f = dft_filters(cfg)                                # (2F, n_fft) f32
+    filt = jnp.zeros((n_chunks * hop, 2 * FPAD), jnp.float32)
+    filt = filt.at[:n_fft, :F].set(f[:F].T).at[:n_fft, FPAD : FPAD + F].set(f[F:].T)
+    filt = filt.astype(jnp.bfloat16)
+
+    # n_mels (64) lanes exactly: a block whose last dim EQUALS the array dim
+    # is legal below 128, and writing 64 lanes directly spares the padded
+    # 128-lane output + the post-slice copy XLA would otherwise insert
+    fbp = jnp.zeros((FPAD, n_mels), jnp.float32)
+    fbp = fbp.at[:F, :n_mels].set(jnp.asarray(mel_filterbank(cfg)))
+    fbp = fbp.astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        functools.partial(_mel_kernel, n_chunks=n_chunks, hop=hop,
+                          amin=float(cfg.amin)),
+        grid=(B * n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, rows_per_tile, hop), lambda i: (i, 0, 0)),
+            pl.BlockSpec((n_chunks * hop, 2 * FPAD), lambda i: (0, 0)),
+            pl.BlockSpec((FPAD, n_mels), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _MEL_TT, n_mels), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (B * n_tiles, _MEL_TT, n_mels), jnp.float32),
+        interpret=interpret,
+    )(tiles, filt, fbp)
+    out = out.reshape(B, n_tiles * _MEL_TT, n_mels)
+    return out[:, :T, :]

@@ -193,6 +193,42 @@ def check_frontend_extend(rng: np.random.Generator) -> list[dict]:
     return results
 
 
+def check_mel_kernel(rng: np.random.Generator) -> list[dict]:
+    """Fused DFT+power+mel kernel (training tier) vs the on-chip XLA
+    default tier: same bf16-multiply/fp32-accumulate semantics and chunk
+    order, so raw dB deltas are bf16 rounding noise and post-normalization
+    deltas (what the model actually consumes) are ~1e-4 sigma."""
+    from lightning_asr_tpu.ops.frontend import (
+        MelFrontendConfig, log_mel_spectrogram, normalize_features,
+        set_mel_pallas)
+
+    cfg = MelFrontendConfig(dither=0.0, precision="default")
+    B, S = 8, 180000
+    waves = jnp.asarray((rng.standard_normal((B, S)) * 0.2).astype(np.float32))
+    lens = jnp.asarray(
+        np.r_[S, rng.integers(16000, S, size=B - 1)].astype(np.int32))
+    set_mel_pallas(False)
+    ref, rl = log_mel_spectrogram(waves, lens, cfg)
+    set_mel_pallas(True)
+    got, gl = log_mel_spectrogram(waves, lens, cfg)
+    nr = np.asarray(normalize_features(ref, rl))
+    ng = np.asarray(normalize_features(got, gl))
+    ref, got = np.asarray(ref), np.asarray(got)
+    db_err = sig_err = 0.0
+    for b in range(B):
+        Tv = int(np.asarray(rl)[b])
+        db_err = max(db_err, float(np.abs(got[b, :Tv] - ref[b, :Tv]).max()))
+        sig_err = max(sig_err, float(np.abs(ng[b, :Tv] - nr[b, :Tv]).max()))
+    return [{
+        "op": "mel_kernel", "shape": [B, S],
+        "db_err_vs_xla_default": db_err,
+        "postnorm_sigma_err": sig_err,
+        "lens_equal": bool(np.array_equal(np.asarray(rl), np.asarray(gl))),
+        "ok": bool(db_err < 0.05 and sig_err < 0.01
+                   and np.array_equal(np.asarray(rl), np.asarray(gl))),
+    }]
+
+
 def main() -> int:
     enable_compile_cache()
     backend = jax.default_backend()
@@ -200,7 +236,7 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     results = (check_ctc(rng) + check_lstm(rng) + check_sepconv(rng)
-               + check_frontend_extend(rng))
+               + check_frontend_extend(rng) + check_mel_kernel(rng))
     ok = all(r["ok"] for r in results) and not interpreted
     report = {
         "backend": backend,

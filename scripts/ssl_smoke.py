@@ -163,6 +163,10 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="SSL_SMOKE.json")
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO)  # surface pseudo-pass progress
+
     import jax
     import jax.numpy as jnp
 
