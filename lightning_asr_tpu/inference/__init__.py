@@ -1,3 +1,4 @@
 from .predict import AsrTranslator
+from .streaming import StreamingTranscriber
 
-__all__ = ["AsrTranslator"]
+__all__ = ["AsrTranslator", "StreamingTranscriber"]

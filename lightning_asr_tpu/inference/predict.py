@@ -166,6 +166,21 @@ class AsrTranslator:
 
     def transcribe_batch(self, waves: List[np.ndarray]) -> List[str]:
         """Transcribe a list of 1-D float32 waveforms."""
+        return self.transcribe_batch_submit(waves)()
+
+    def transcribe_batch_submit(self, waves: List[np.ndarray]):
+        """Dispatch a batch's device work; return a zero-arg resolver.
+
+        JAX dispatch is asynchronous: the jitted forward (and the greedy
+        argmax) are enqueued on the device immediately and this method
+        returns without blocking.  All host-side blocking — the result
+        fetches and string decoding — happens in the returned resolver.
+        A pipelined caller (``server.DynamicBatcher._device_loop``) submits
+        batch N+1 BEFORE resolving batch N, so the host<->device round-trip
+        of the fetch overlaps the next batch's compute; on a remote or
+        tunneled device the round-trip can rival the compute itself, and a
+        strictly sequential submit->fetch loop was measured at ~2x the
+        per-batch cost of this double-buffered form at concurrency 32."""
         if self.ssl_extractor is not None:
             feats, _ = self.ssl_extractor(list(waves))  # (B, T, 512)
             # exact wav2vec2 conv-stack output lengths, not a 50 Hz estimate
@@ -186,7 +201,6 @@ class AsrTranslator:
                 frames = np.concatenate([frames, np.repeat(frames[:1], Bp - B)])
             log_probs, out_lens = self._jit_forward_feats(
                 jnp.asarray(feats), jnp.asarray(frames))
-            log_probs, out_lens = log_probs[:B], out_lens[:B]
         else:
             n_max = self._bucket_len(max(w.shape[0] for w in waves))
             # bucket the BATCH dimension too (next power of two): callers
@@ -206,18 +220,39 @@ class AsrTranslator:
                 batch[i] = batch[0]
                 lens[i] = lens[0]
             log_probs, out_lens = self._jit_forward(jnp.asarray(batch), jnp.asarray(lens))
-            log_probs, out_lens = log_probs[:B], out_lens[:B]
-        if self.beam_decoder is not None:
-            texts = self.beam_decoder.forward(np.asarray(log_probs), np.asarray(out_lens))
-        else:
-            preds = jnp.argmax(log_probs, axis=-1)
-            texts = greedy_decode_to_strings(preds, out_lens, self.vocab.labels, self.vocab.blank_id)
-        if self.return_confidence:
-            from ..ssl_codec.confidence import sum_logprob
+        # enqueue the greedy argmax on the device NOW (still async) so the
+        # resolver only fetches; device ops stay on the warmed ladder shape
+        # Bp — a device-side [:B] trim would give every raw batch size its
+        # own downstream shapes, each paying a fresh XLA compile (~2 s on
+        # the tunneled backend) at first sight (diagnosed via
+        # scripts/probe_serving_c32.py: serving p50 at c32 was 2.5 s while
+        # every warm ladder batch ran in ~200 ms)
+        need_lp = self.beam_decoder is not None or self.return_confidence
+        preds_dev = None if need_lp else jnp.argmax(log_probs, axis=-1)
 
-            conf = sum_logprob(np.asarray(log_probs), np.asarray(out_lens), self.vocab.blank_id)
-            return list(zip(texts, conf.tolist()))
-        return texts
+        def resolve():
+            # trim padding rows on the HOST (see the shape note above)
+            out_lens_np = np.asarray(out_lens)[:B]
+            if need_lp:
+                lp_np = np.asarray(log_probs, np.float32)[:B]
+            if self.beam_decoder is not None:
+                texts = self.beam_decoder.forward(lp_np, out_lens_np)
+            else:
+                # confidence path already fetched lp_np: argmax on host
+                # (a device argmax over the trimmed [:B] would re-compile
+                # per raw batch size)
+                preds = (np.asarray(preds_dev)[:B] if preds_dev is not None
+                         else np.argmax(lp_np, axis=-1))
+                texts = greedy_decode_to_strings(
+                    preds, out_lens_np, self.vocab.labels, self.vocab.blank_id)
+            if self.return_confidence:
+                from ..ssl_codec.confidence import sum_logprob
+
+                conf = sum_logprob(lp_np, out_lens_np, self.vocab.blank_id)
+                return list(zip(texts, conf.tolist()))
+            return texts
+
+        return resolve
 
     def warmup(self, seconds: Sequence[float] = (5.0,),
                max_batch: int = 1) -> None:

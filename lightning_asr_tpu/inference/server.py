@@ -60,6 +60,12 @@ class DynamicBatcher:
         self.max_samples = int(max_seconds * translator.frontend.sample_rate)
         self.decode_threads = decode_threads
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        # two-stage pipeline: the assembler thread collects + decodes batch
+        # N+1 while the device thread transcribes batch N (depth-1 handoff
+        # queue = classic double buffering; a single worker serialized host
+        # assembly against device compute and capped batched throughput at
+        # ~40% of the transcribe_batch ceiling on the 1-core host)
+        self._ready: "queue.Queue" = queue.Queue(maxsize=1)
         try:
             from ..native import parse_wav_batch_mem
 
@@ -69,8 +75,8 @@ class DynamicBatcher:
             logger.info("native wav parser unavailable; batched decode "
                         "falls back to read_audio in the worker thread")
             self._native_parse = None
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        threading.Thread(target=self._assemble, daemon=True).start()
+        threading.Thread(target=self._device_loop, daemon=True).start()
 
     def translate(self, audio) -> str:
         if isinstance(audio, bytes):
@@ -118,7 +124,9 @@ class DynamicBatcher:
                 out.append(e)
         return out
 
-    def _run(self) -> None:
+    def _assemble(self) -> None:
+        """Stage 1: collect raw requests into a batch, decode it through the
+        native pool, resolve malformed rows, hand waves to the device loop."""
         while True:
             item = self._queue.get()
             batch: List = [item]
@@ -141,15 +149,64 @@ class DynamicBatcher:
             for w, (_, f) in zip(decoded, batch):
                 if isinstance(w, Exception):
                     f.set_exception(w)
-            if not good:
-                continue
+            if good:
+                self._ready.put(good)
+
+    def _device_loop(self) -> None:
+        """Stage 2: double-buffered device pipeline.
+
+        Submit batch N+1's device work (async JAX dispatch) BEFORE blocking
+        on batch N's result fetch, so the host<->device round-trip of the
+        fetch overlaps the next batch's compute.  On a remote/tunneled
+        device the round-trip rivals the compute: the strictly sequential
+        submit->fetch loop measured ~2x the per-batch cost at c32
+        (scripts/probe_serving_c32.py), exactly the regime where arrivals
+        never build a backlog to amortize it."""
+        pending = None  # (rows, resolver) for the batch in flight
+        while True:
+            if pending is None:
+                good = self._ready.get()
+            else:
+                try:
+                    # grace window = the batching window: give the assembler
+                    # its own cadence to produce batch N+1 before we commit
+                    # to blocking on batch N's fetch (a get_nowait loses the
+                    # race against the assembler's decode by microseconds
+                    # and degenerates to the sequential loop); if the device
+                    # already finished N this delays its results by at most
+                    # max_wait, which is below per-batch jitter
+                    good = self._ready.get(timeout=self.max_wait)
+                except queue.Empty:
+                    self._resolve_batch(pending)
+                    pending = None
+                    continue
+            # duck-typed translators (tests, custom backends) may only
+            # provide the blocking transcribe_batch; wrap it as an
+            # already-resolved submit (no pipelining, same semantics)
+            submit = getattr(self.translator, "transcribe_batch_submit",
+                             None) or (lambda waves:
+                                       (lambda w=waves: self.translator
+                                        .transcribe_batch(w)))
             try:
-                texts = self.translator.transcribe_batch([w for w, _ in good])
-                for (_, f), text in zip(good, texts):
-                    f.set_result(text if isinstance(text, str) else text[0])
+                resolver = submit([w for w, _ in good])
             except Exception as e:  # pragma: no cover
                 for _, f in good:
                     f.set_exception(e)
+                resolver = None
+            if pending is not None:
+                self._resolve_batch(pending)
+            pending = (good, resolver) if resolver is not None else None
+
+    @staticmethod
+    def _resolve_batch(pending) -> None:
+        good, resolver = pending
+        try:
+            texts = resolver()
+            for (_, f), text in zip(good, texts):
+                f.set_result(text if isinstance(text, str) else text[0])
+        except Exception as e:  # pragma: no cover
+            for _, f in good:
+                f.set_exception(e)
 
 
 # minimal valid 16 kHz mono PCM16 wav (header + 4 samples) for the native
@@ -249,6 +306,13 @@ def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
     step latency."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a concurrent burst
+        # (c64 load test, thundering-herd clients) overflows the accept
+        # queue and gets connections RESET before the app ever sees them
+        request_queue_size = 128
+        daemon_threads = True
+
     if warmup_seconds:
         translator.warmup(warmup_seconds, max_batch if batching else 1)
     if batching:
@@ -284,7 +348,7 @@ def make_stdlib_server(translator, host: str = "127.0.0.1", port: int = 0,
         def log_message(self, fmt, *args):
             logger.info("server: " + fmt, *args)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)
 
 
 def _main() -> None:

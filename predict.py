@@ -26,6 +26,11 @@ def main() -> None:
                     help="LM-free beam search on device instead of greedy")
     ap.add_argument("--long", action="store_true",
                     help="chunked transcription for long audio (> 40 s)")
+    ap.add_argument("--stream", action="store_true",
+                    help="simulate live streaming: feed the wav in "
+                         "--stream_block_seconds blocks through "
+                         "StreamingTranscriber, printing each partial")
+    ap.add_argument("--stream_block_seconds", type=float, default=1.0)
     ap.add_argument("--chunk_seconds", type=float, default=20.0)
     ap.add_argument("--overlap_seconds", type=float, default=2.0)
     ap.add_argument("--beam_width", type=int, default=40)
@@ -64,7 +69,25 @@ def main() -> None:
             translator.vocab.labels, beam_width=args.beam_width)
 
     if args.audio:
-        if args.long:
+        if args.stream:
+            import numpy as np
+
+            from lightning_asr_tpu.data.audio import read_audio
+            from lightning_asr_tpu.inference import StreamingTranscriber
+
+            samples, sr = read_audio(args.audio, mono=True)
+            st = StreamingTranscriber(
+                translator, chunk_seconds=min(args.chunk_seconds, 8.0),
+                overlap_seconds=min(args.overlap_seconds, 1.0))
+            block = int(args.stream_block_seconds * sr)
+            wave, last = np.asarray(samples[0]), ""
+            for lo in range(0, wave.shape[0], block):
+                part = st.feed(wave[lo: lo + block])
+                if part != last:
+                    print(f"[{(lo + block) / sr:6.1f}s] {part}", flush=True)
+                    last = part
+            print(st.finish())
+        elif args.long:
             print(translator.translate_long(
                 args.audio, chunk_seconds=args.chunk_seconds,
                 overlap_seconds=args.overlap_seconds))

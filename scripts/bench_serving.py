@@ -88,7 +88,12 @@ def run_level(port: int, body: bytes, boundary: str, concurrency: int,
             raise
         return ("ok", time.perf_counter() - t0)
 
-    one()  # warm this level's path
+    # warm BURST at this concurrency (untimed): the first concurrent burst
+    # after a load change runs 3-8x slower for a few seconds (connection +
+    # thread churn on the 1-core host, tunnel ramp) before settling; the
+    # level measures STEADY-STATE behavior under sustained load
+    with ThreadPoolExecutor(concurrency) as pool:
+        list(pool.map(lambda _: one(), range(2 * concurrency)))
     lat, shed_lat = [], []
     t0 = time.perf_counter()
     with ThreadPoolExecutor(concurrency) as pool:
@@ -112,13 +117,55 @@ def run_level(port: int, body: bytes, boundary: str, concurrency: int,
     return out
 
 
+def run_level_subprocess(port: int, wav_path: Path, concurrency: int,
+                         n_requests: int, audio_seconds: float) -> dict:
+    """Run one load level from a SEPARATE client process.
+
+    In-process client threads are a measurement artifact on this 1-core
+    host: at c32 every batch completion wakes ~16 client threads whose
+    request-building/parsing work contends the server's GIL and starves
+    the single device-loop thread — probed at ~770 ms per warm bs16 batch
+    in-process vs ~265 ms with external clients (the same executable).
+    Real clients are remote; the bench's job is to measure the server."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # client process must not open a TPU tunnel
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--_worker",
+         "--port", str(port), "--wav", str(wav_path),
+         "--concurrency", str(concurrency), "--requests", str(n_requests),
+         "--seconds", str(audio_seconds)],
+        capture_output=True, text=True, env=env, timeout=1200)
+    if out.returncode != 0:
+        raise RuntimeError(f"client worker failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--ckpt", type=str, default=None,
                     help="existing checkpoint dir (default: random-init)")
+    ap.add_argument("--inproc_client", action="store_true",
+                    help="drive load from this process (measures client+"
+                         "server GIL contention too; default is a separate "
+                         "client process per level)")
+    ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--wav", type=str, default="", help=argparse.SUPPRESS)
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args._worker:
+        body, boundary = multipart_wav(Path(args.wav).read_bytes())
+        level = run_level(args.port, body, boundary, args.concurrency,
+                          args.requests, args.seconds)
+        print(json.dumps(level), flush=True)
+        return
 
     import tempfile
 
@@ -139,12 +186,15 @@ def main() -> None:
 
     report = {"audio_seconds": args.seconds, "requests_per_level": args.requests,
               "device": "TPU v5e (1 chip, tunneled)",
-              "note": ("this rig has ONE host CPU core: at concurrency 32 "
-                       "the per-request WAV decode threads contend with "
-                       "batch assembly (probe: warm bs16 batch 165-211 ms "
-                       "alone, 466 ms with 32 decode threads), so both "
-                       "modes are host-bound there; batched-mode "
-                       "steady-state wins at realistic concurrency (c8)"),
+              "client": "in-process" if args.inproc_client else
+                        "separate process per level",
+              "note": ("clients run out-of-process: on this 1-core host, "
+                       "in-process client threads GIL-starve the batched "
+                       "mode's single device-loop thread at c32 (probed "
+                       "~770 ms per warm bs16 batch in-process vs ~265 ms "
+                       "external — same executable); serial mode is "
+                       "insensitive because its per-request threads block "
+                       "on the device in parallel"),
               "modes": {}}
     for batching in (False, True):
         translator = AsrTranslator(ckpt)
@@ -160,8 +210,12 @@ def main() -> None:
         levels = []
         for concurrency in (1, 8, 32, 64):
             n_req = max(args.requests, 4 * concurrency)
-            levels.append(run_level(port, body, boundary, concurrency,
-                                    n_req, args.seconds))
+            if args.inproc_client:
+                levels.append(run_level(port, body, boundary, concurrency,
+                                        n_req, args.seconds))
+            else:
+                levels.append(run_level_subprocess(
+                    port, wav_path, concurrency, n_req, args.seconds))
             print(f"batching={batching} {levels[-1]}", flush=True)
         server.shutdown()
         report["modes"]["batched" if batching else "serial"] = levels

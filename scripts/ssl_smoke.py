@@ -160,6 +160,12 @@ def main() -> None:
     ap.add_argument("--mode", choices=("smoke", "low_label"), default="smoke",
                     help="low_label requires injection to WIN (>=10%% "
                          "relative dev-CER gain), not just not-hurt")
+    ap.add_argument("--diagnose", action="store_true",
+                    help="train ONLY the control arm, then report the "
+                         "confidence->correctness sweep (does a threshold "
+                         "exist where kept pseudo-label CER is well below "
+                         "the model's overall CER?) — the cheap prerequisite "
+                         "check before paying for a double-arm run")
     ap.add_argument("--out", type=str, default="SSL_SMOKE.json")
     args = ap.parse_args()
 
@@ -228,6 +234,44 @@ def main() -> None:
         )
         state = trainer.fit()
         return dm, model, state, trainer
+
+    if args.diagnose:
+        _, model_c, state_c, _ = run_arm(inject=False)
+        cer_control = dev_cer(model_c, state_c, root, dev_manifest,
+                              args.batch_size)
+        c_stems, c_refs, c_hyps, c_confs = decode_corpus(
+            model_c, state_c, root, clean_manifest, args.batch_size)
+        x_stems, _, _, x_confs = decode_corpus(
+            model_c, state_c, root, corrupt_manifest, args.batch_size)
+        from lightning_asr_tpu.metrics.wer import word_error_rate
+        pool_cer = float(word_error_rate(c_hyps, c_refs, use_cer=True))
+        sweep = []
+        for th in (0.08, 0.10, 0.12, 0.14, 0.16, 0.18, 0.20, 0.22, 0.26):
+            kc = [i for i, c in enumerate(c_confs) if c <= th]
+            kx = sum(1 for c in x_confs if c <= th)
+            cer_k = (float(word_error_rate(
+                [c_hyps[i] for i in kc], [c_refs[i] for i in kc],
+                use_cer=True)) if kc else None)
+            exact = (round(100.0 * sum(c_hyps[i] == c_refs[i] for i in kc)
+                           / len(kc), 1) if kc else None)
+            sweep.append({"threshold": th, "kept_clean": len(kc),
+                          "kept_clean_pct": round(100.0 * len(kc) / pool_clean, 1),
+                          "kept_corrupted_pct": round(100.0 * kx / pool_corrupt, 1),
+                          "kept_clean_label_cer": cer_k,
+                          "kept_exact_pct": exact})
+        report = {"mode": "diagnose", "labeled_utts": args.utts,
+                  "epochs": args.epochs, "dev_cer_control": cer_control,
+                  "pool_clean_cer_unfiltered": pool_cer,
+                  "pool_clean": pool_clean, "pool_corrupted": pool_corrupt,
+                  "sweep": sweep,
+                  "note": ("injection can only win if some threshold keeps a "
+                           "meaningful fraction of the pool at label CER well "
+                           "below dev_cer_control (confidence selects "
+                           "CORRECT decodes, not just pattern-vs-noise)")}
+        out = Path(__file__).resolve().parents[1] / args.out
+        out.write_text(json.dumps(report, indent=2) + "\n")
+        print(json.dumps(report))
+        return
 
     # --- arm 1: pseudo injection enabled over the mixed clean+corrupt pool
     dm, model, state, trainer = run_arm(inject=True)

@@ -187,4 +187,5 @@ def test_server_cli_wiring(monkeypatch):
     srv._main()
     assert captured == {"model": "/tmp/ck", "host": "0.0.0.0", "port": 5005,
                         "use_flask": None, "batching": True, "max_batch": 16,
-                        "max_wait_ms": 5.0, "warmup_seconds": [2.0, 5.0]}
+                        "max_wait_ms": 5.0, "warmup_seconds": [2.0, 5.0],
+                        "max_queue": 64}

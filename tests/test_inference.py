@@ -262,3 +262,43 @@ def test_dynamic_batcher_decodes_batch_and_rejects_bad_rows():
             f_bad.result(timeout=30)
         with pytest.raises(ValueError):
             f_sr.result(timeout=30)
+
+
+def test_device_loop_pipelines_two_batches_in_flight():
+    """The device loop double-buffers: batch N+1 is SUBMITTED before batch
+    N's resolver is called (hides the host<->device round-trip on remote
+    backends), and every future still gets its own batch's result."""
+    import concurrent.futures
+    import threading
+    import time as _t
+
+    from lightning_asr_tpu.inference.server import DynamicBatcher
+
+    events = []
+    lock = threading.Lock()
+
+    class _PipelinedFake(_FakeTranslator):
+        def transcribe_batch_submit(self, waves):
+            with lock:
+                events.append(("submit", len(waves)))
+
+            def resolve(waves=waves):
+                _t.sleep(0.15)  # the blocking fetch
+                with lock:
+                    events.append(("resolve", len(waves)))
+                return [f"len{w.shape[0]}" for w in waves]
+
+            return resolve
+
+    tr = _PipelinedFake()
+    b = DynamicBatcher(tr, max_batch=2, max_wait_ms=30)
+    blob = _wav_bytes(1600)
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        futs = [pool.submit(b.translate, blob) for _ in range(8)]
+        assert all(f.result(timeout=30) == "len1600" for f in futs)
+    kinds = [k for k, _ in events]
+    assert kinds.count("submit") == kinds.count("resolve") >= 2
+    # at least one second submit happened before the first resolve
+    first_resolve = kinds.index("resolve")
+    assert kinds[:first_resolve].count("submit") >= 2, (
+        f"no overlap: {events}")
