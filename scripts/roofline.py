@@ -211,6 +211,10 @@ def main() -> None:
     from jax.profiler import ProfileData
 
     by_class: collections.Counter = collections.Counter()
+    # name the overhead: top individual events that land in the
+    # overhead/unattributed bucket, so the bucket is actionable (is it
+    # donated-buffer copies? layout transposes? infeed?) instead of a blob
+    unattr: collections.Counter = collections.Counter()
     data = ProfileData.from_serialized_xspace(paths[-1].read_bytes())
     traced_steps = 5
     for plane in data.planes:
@@ -224,6 +228,7 @@ def main() -> None:
                 op = name2op.get(nm)
                 if op is None:
                     by_class["overhead/unattributed"] += ev.duration_ns
+                    unattr[nm] += ev.duration_ns
                     continue
                 cls = classify(op, nm)
                 base = cls.replace(" BWD", "")
@@ -235,6 +240,7 @@ def main() -> None:
                         base = "optimizer"
                     else:
                         base = "overhead/unattributed"
+                        unattr[nm] += ev.duration_ns
                 by_class[base] += ev.duration_ns
         break
 
@@ -267,6 +273,11 @@ def main() -> None:
             row["note"] = "no analytic bound (copies, layout, control)"
         table[cls] = row
 
+    top_unattributed = [
+        {"hlo": nm, "ms_per_step": round(t / 1e6 / traced_steps, 3)}
+        for nm, t in unattr.most_common(16)
+    ]
+
     mfu = step_flops / (wall_ms / 1e3) / PEAK_MXU_BF16
     report = {
         "config": {"batch": B, "seconds": SECONDS, "dtype": "bf16 convs / fp32 "
@@ -276,6 +287,7 @@ def main() -> None:
         "xla_cost_flops_G": round(step_flops / 1e9, 1),
         "mfu_measured": round(mfu, 4),
         "per_class": table,
+        "top_unattributed": top_unattributed,
         "speed_of_light_ms": round(sum_bound, 2),
         "mfu_at_speed_of_light": round(
             step_flops / (sum_bound / 1e3) / PEAK_MXU_BF16, 4) if sum_bound else None,
