@@ -382,17 +382,31 @@ class AsrTranslator:
         entries = read_manifests(manifest_path, max_duration)
         metric = WER(self.vocab.labels, self.vocab.use_cer)
         rows = []
+
+        # double-buffered evaluation: submit batch i+1's device work before
+        # blocking on batch i's fetch (same discipline as the serving
+        # device loop) — on a remote/tunneled device the result round-trip
+        # rivals the compute, and the host-side WAV reads for the next
+        # batch also overlap the in-flight forward
+        def score(chunk, resolver):
+            for e, res in zip(chunk, resolver()):
+                text, conf = (res if isinstance(res, tuple) else (res, None))
+                utt_wer = metric.update([text], [e.text])
+                rows.append((e.audio_filepath, e.text, text, utt_wer, conf))
+
+        pending = None  # (chunk, resolver)
         for i in range(0, len(entries), batch_size):
             chunk = entries[i : i + batch_size]
             waves = []
             for e in chunk:
                 samples, _ = read_audio(e.audio_filepath, mono=True)
                 waves.append(samples[0])
-            results = self.transcribe_batch(waves)
-            for e, res in zip(chunk, results):
-                text, conf = (res if isinstance(res, tuple) else (res, None))
-                utt_wer = metric.update([text], [e.text])
-                rows.append((e.audio_filepath, e.text, text, utt_wer, conf))
+            resolver = self.transcribe_batch_submit(waves)
+            if pending is not None:
+                score(*pending)
+            pending = (chunk, resolver)
+        if pending is not None:
+            score(*pending)
         overall = metric.compute()
         if csv_path:
             import csv

@@ -42,10 +42,17 @@ FRAMES_PER_CHAR = 5
 
 
 def make_corpus(root: Path, n_utts: int, seed: int, name: str,
-                patterns) -> Path:
+                patterns, noise=(0.3, 0.3)) -> Path:
     """``patterns=None`` writes a CORRUPTED corpus: same shapes/durations,
     but the features are patternless noise at the same scale — the model
-    cannot be confident on them, so the pseudo filter must reject them."""
+    cannot be confident on them, so the pseudo filter must reject them.
+
+    ``noise=(lo, hi)`` draws a per-UTTERANCE noise scale from U(lo, hi):
+    with hi > lo the pool is SNR-heterogeneous like real unlabeled audio,
+    so confidence has per-utterance structure to discriminate on (the
+    regime the reference's threshold filter exists for,
+    ``/root/reference/train_ssl.py:243-251``) instead of a pool whose
+    utterances are all equally hard by construction."""
     rng = np.random.default_rng(seed)
     feat_dir = root / "feats"
     feat_dir.mkdir(parents=True, exist_ok=True)
@@ -62,10 +69,11 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
             T = len(text) * FRAMES_PER_CHAR
             feats = (2.0 * rng.standard_normal((T, 512))).astype(np.float32)[None]
         else:
+            scale = float(rng.uniform(noise[0], noise[1]))
             frames = []
             for ch in text:
                 idx = LABELS.index(ch)
-                block = patterns[idx][None, :] + 0.3 * rng.standard_normal(
+                block = patterns[idx][None, :] + scale * rng.standard_normal(
                     (FRAMES_PER_CHAR, patterns.shape[1])).astype(np.float32)
                 frames.append(block)
             feats = np.concatenate(frames, axis=0).astype(np.float32)[None]
@@ -153,6 +161,11 @@ def main() -> None:
                     help="clean unlabeled pool size (0 -> utts//3)")
     ap.add_argument("--pool_corrupt", type=int, default=0,
                     help="corrupted pool size (0 -> utts//3)")
+    ap.add_argument("--pool_noise_hi", type=float, default=0.0,
+                    help="if > 0, the clean pool's per-utterance noise "
+                         "scale is drawn from U(0.3, pool_noise_hi) (SNR-"
+                         "heterogeneous unlabeled audio; labeled/dev stay "
+                         "at 0.3)")
     ap.add_argument("--dev_utts", type=int, default=0, help="0 -> utts//3")
     ap.add_argument("--pseudo_start_frac", type=float, default=0.75,
                     help="fraction of training after which injection starts")
@@ -190,7 +203,9 @@ def main() -> None:
     train_manifest = make_corpus(root, args.utts, 1, "train", patterns)
     pool_clean = args.pool_clean or max(args.utts // 3, 8)
     pool_corrupt = args.pool_corrupt or max(args.utts // 3, 8)
-    clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns)
+    pool_noise = (0.3, args.pool_noise_hi) if args.pool_noise_hi > 0 else (0.3, 0.3)
+    clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns,
+                                 noise=pool_noise)
     corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None)
     dev_manifest = make_corpus(root, args.dev_utts or max(args.utts // 3, 16),
                                3, "dev", patterns)
@@ -260,7 +275,8 @@ def main() -> None:
                           "kept_clean_label_cer": cer_k,
                           "kept_exact_pct": exact})
         report = {"mode": "diagnose", "labeled_utts": args.utts,
-                  "epochs": args.epochs, "dev_cer_control": cer_control,
+                  "epochs": args.epochs, "pool_noise": list(pool_noise),
+                  "dev_cer_control": cer_control,
                   "pool_clean_cer_unfiltered": pool_cer,
                   "pool_clean": pool_clean, "pool_corrupted": pool_corrupt,
                   "sweep": sweep,
@@ -325,6 +341,7 @@ def main() -> None:
         "pseudo_every_n_epochs": args.pseudo_every,
         "pseudo_pool_clean": pool_clean,
         "pseudo_pool_corrupted": pool_corrupt,
+        "pool_noise": list(pool_noise),
         "kept_clean": int(kept_clean),
         "kept_corrupted": int(kept_corrupt),
         "kept_clean_pct": round(100.0 * kept_clean / pool_clean, 1),
