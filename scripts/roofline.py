@@ -177,6 +177,9 @@ def main() -> None:
         cost = cost[0]
     step_flops = float(cost.get("flops", float("nan")))
     hlo_text = compiled.as_text()
+    # keep the dump so scripts/attribute_trace.py can re-join the trace
+    # for the finer (class, op) split after this run
+    Path("/tmp/step_hlo.txt").write_text(hlo_text)
     name2op = {}
     import re
 
