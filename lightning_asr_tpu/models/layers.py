@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.depthwise_pallas import (depthwise_conv1d,
+                                    depthwise_wgrad_pallas_enabled)
 from ..ops.lstm import LSTMWeights, lstm
 from ..ops.sepconv_pallas import sepconv, sepconv_pallas_enabled
 from ..parallel.tp import shard_trunk_activations
@@ -142,6 +144,22 @@ class SepConv(nn.Module):
                              name="pointwise_conv")()
             xin = x.astype(self.dtype) if self.dtype is not None else x
             x = sepconv(xin, wd[:, 0, :], wp[0], None)
+        elif (depthwise_wgrad_pallas_enabled() and self.stride == 1
+                and self.dilation == 1 and self.k % 2 == 1):
+            # XLA fwd/dgrad + Pallas wgrad hybrid (same params layout as
+            # nn.Conv, so checkpoints are interchangeable)
+            wd = _ConvKernel((self.k, 1, self.in_ch), self.k,
+                             name="depthwise_conv")()
+            xin = x.astype(self.dtype) if self.dtype is not None else x
+            x = depthwise_conv1d(xin, wd[:, 0, :].astype(xin.dtype))
+            x = nn.Conv(
+                features=self.out_ch,
+                kernel_size=(1,),
+                use_bias=False,
+                kernel_init=torch_uniform_init(self.in_ch),
+                dtype=self.dtype,
+                name="pointwise_conv",
+            )(x)
         else:
             x = nn.Conv(
                 features=self.in_ch,

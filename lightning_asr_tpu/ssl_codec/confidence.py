@@ -44,6 +44,48 @@ def sum_logprob(
     return -(total / (count + 1e-6))
 
 
+def confidence_scores(
+    log_probs: np.ndarray,
+    lengths: np.ndarray,
+    blank_id: int,
+    measure: str = "ref",
+) -> np.ndarray:
+    """Per-utterance confidence, LOWER = more confident (so one threshold
+    convention covers every measure).  ``measure``:
+
+    * ``ref`` — the reference's score verbatim (mean max log-prob with the
+      never-firing blank skip, ``/root/reference/ssl_codec/utils.py``);
+    * ``nonblank`` — the reference's INTENDED score: mean max log-prob over
+      non-blank frames only;
+    * ``min_maxlp`` — the weakest frame: negated min over valid frames of
+      the max log-prob (one garbage frame disqualifies the utterance —
+      mean-based scores let a few confident frames mask it);
+    * ``entropy`` — mean per-frame posterior entropy (nats): uses the whole
+      distribution instead of just the argmax.
+
+    Beyond reference: the reference hardcodes ``ref``; pseudo-label quality
+    depends on confidence↔correctness correlation, which
+    ``scripts/ssl_smoke.py --diagnose`` measures per-candidate so the
+    training loop can pick the measure that actually selects correct
+    decodes (``SSLTrainer(pseudo_confidence_measure=...)``)."""
+    log_probs = np.asarray(log_probs, np.float32)
+    lengths = np.asarray(lengths)
+    B, T, C = log_probs.shape
+    valid = np.arange(T)[None, :] < lengths[:, None]
+    if measure == "ref":
+        return sum_logprob(log_probs, lengths, None)
+    if measure == "nonblank":
+        return sum_logprob(log_probs, lengths, blank_id)
+    mx = log_probs.max(axis=-1)                          # (B, T)
+    if measure == "min_maxlp":
+        return -np.where(valid, mx, np.inf).min(axis=1)
+    if measure == "entropy":
+        ent = -(np.exp(log_probs) * log_probs).sum(axis=-1)  # (B, T) nats
+        return ((ent * valid).sum(axis=1)
+                / np.maximum(valid.sum(axis=1), 1))
+    raise ValueError(f"unknown confidence measure {measure!r}")
+
+
 def seq_sum_logprob(data: tuple, blank_id: Optional[int] = None) -> tuple:
     """Single-sample variant keeping the reference's (index, (T, C) array,
     length) -> (index, score) tuple protocol (``ssl_codec/utils.py:48-66``)."""

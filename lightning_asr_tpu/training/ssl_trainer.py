@@ -20,7 +20,7 @@ import numpy as np
 
 from ..data.pipeline import prefetch
 from ..decoding.greedy import greedy_decode_to_strings
-from ..ssl_codec.confidence import sum_logprob
+from ..ssl_codec.confidence import confidence_scores
 from .trainer import Trainer
 
 logger = logging.getLogger(__name__)
@@ -33,6 +33,7 @@ class SSLTrainer(Trainer):
         pseudo_start_epoch: int = 300,
         pseudo_every_n_epochs: int = 7,
         pseudo_confidence_threshold: float = 0.01,
+        pseudo_confidence_measure: str = "ref",
         **kwargs,
     ):
         kwargs.setdefault("from_features", True)
@@ -42,6 +43,7 @@ class SSLTrainer(Trainer):
         self.pseudo_start_epoch = pseudo_start_epoch
         self.pseudo_every_n_epochs = pseudo_every_n_epochs
         self.pseudo_confidence_threshold = pseudo_confidence_threshold
+        self.pseudo_confidence_measure = pseudo_confidence_measure
 
     def on_train_epoch_end(self, state, epoch) -> None:
         if epoch < self.pseudo_start_epoch or epoch % self.pseudo_every_n_epochs != 0:
@@ -57,7 +59,10 @@ class SSLTrainer(Trainer):
             texts = greedy_decode_to_strings(
                 out["preds"], out["pred_lens"], self.vocab.labels, self.vocab.blank_id
             )[:n]
-            conf = sum_logprob(np.asarray(out["log_probs"])[:n], np.asarray(out["pred_lens"])[:n])
+            conf = confidence_scores(
+                np.asarray(out["log_probs"])[:n],
+                np.asarray(out["pred_lens"])[:n],
+                self.vocab.blank_id, self.pseudo_confidence_measure)
             for path, text, c in zip(batch.paths, texts, conf):
                 total += 1
                 if c <= self.pseudo_confidence_threshold and text.strip():

@@ -168,6 +168,38 @@ def check_sepconv(rng: np.random.Generator) -> list[dict]:
     return results
 
 
+def check_depthwise_wgrad(rng: np.random.Generator) -> list[dict]:
+    """Hybrid depthwise conv (``ops/depthwise_pallas.py``: XLA fwd/dgrad +
+    Pallas wgrad) vs plain autodiff of the XLA conv at flagship shapes."""
+    dw = importlib.import_module("lightning_asr_tpu.ops.depthwise_pallas")
+    results = []
+    for B, T, C, k in [(4, 256, 256, 33), (2, 256, 336, 51),
+                       (2, 128, 512, 87)]:
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 0.3)
+        wd = jnp.asarray(rng.standard_normal((k, C)).astype(np.float32) * 0.1)
+
+        def run(fn):
+            with jax.default_matmul_precision("highest"):
+                def scalar(x_, wd_):
+                    y = fn(x_, wd_)
+                    return jnp.sum(y * y)
+                y = fn(x, wd)
+                gx, gwd = jax.grad(scalar, argnums=(0, 1))(x, wd)
+                return jax.jit(lambda: (y, gx, gwd))()
+
+        y_r, gx_r, gwd_r = run(dw._dw_conv)
+        y_p, gx_p, gwd_p = run(lambda a, b: dw.depthwise_conv1d(a, b, None))
+        fwd_abs, _ = _err(y_r, y_p)
+        g_abs = max(_err(gx_r, gx_p)[0],
+                    _err(gwd_r, gwd_p)[0] / max(float(jnp.abs(gwd_r).max()), 1.0))
+        results.append({
+            "op": "depthwise_wgrad", "shape": [B, T, C, k],
+            "fwd_abs_err": fwd_abs, "grad_rel_err": g_abs,
+            "ok": bool(fwd_abs < 1e-4 and g_abs < 1e-3),
+        })
+    return results
+
+
 def check_frontend_extend(rng: np.random.Generator) -> list[dict]:
     """Fused preemph+extend (``ops/frontend_pallas.py``) vs the XLA
     composition; exercises the dynamic-offset tail read-modify-write."""
@@ -235,8 +267,15 @@ def main() -> int:
     interpreted = backend == "cpu"
     rng = np.random.default_rng(0)
 
-    results = (check_ctc(rng) + check_lstm(rng) + check_sepconv(rng)
-               + check_frontend_extend(rng) + check_mel_kernel(rng))
+    results = []
+    for check in (check_ctc, check_lstm, check_sepconv,
+                  check_depthwise_wgrad, check_frontend_extend,
+                  check_mel_kernel):
+        print(f"[parity] {check.__name__} ...", flush=True)
+        results += check(rng)
+        print(f"[parity] {check.__name__} done "
+              f"({sum(r['ok'] for r in results)}/{len(results)} ok)",
+              flush=True)
     ok = all(r["ok"] for r in results) and not interpreted
     report = {
         "backend": backend,

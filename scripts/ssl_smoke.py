@@ -90,16 +90,20 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
     return manifest
 
 
+MEASURES = ("ref", "nonblank", "min_maxlp", "entropy")
+
+
 def decode_corpus(model, state, root: Path, manifest: Path, batch_size: int):
     """Greedy-decode a feature corpus; returns (stems, refs, hyps, confs)
-    where conf is the reference's negative-mean-max-log-prob score
-    (``/root/reference/train_ssl.py:243-251`` semantics via
-    ssl_codec.confidence.sum_logprob)."""
+    where confs maps each confidence measure to per-utterance scores
+    (lower = more confident).  ``confs['ref']`` is the reference's
+    negative-mean-max-log-prob score (``/root/reference/train_ssl.py:
+    243-251`` semantics via ssl_codec.confidence)."""
     import jax
     import jax.numpy as jnp
 
     from lightning_asr_tpu.decoding.greedy import greedy_decode_to_strings
-    from lightning_asr_tpu.ssl_codec.confidence import sum_logprob
+    from lightning_asr_tpu.ssl_codec.confidence import confidence_scores
 
     TPAD = 512
     rows = [json.loads(l) for l in open(manifest)]
@@ -116,7 +120,8 @@ def decode_corpus(model, state, root: Path, manifest: Path, batch_size: int):
         stems.append(stem)
     fwd = jax.jit(lambda x, p: model.apply(
         {"params": state.params, "batch_stats": state.batch_stats}, x, p, False))
-    hyps, confs = [], []
+    hyps = []
+    confs = {m: [] for m in MEASURES}
     for i in range(0, len(feats_b), batch_size):
         chunk = feats_b[i : i + batch_size]
         pad = batch_size - len(chunk)  # static batch shape; pad rows dropped
@@ -127,7 +132,9 @@ def decode_corpus(model, state, root: Path, manifest: Path, batch_size: int):
         lp_np, lens_np = np.asarray(lp, np.float32), np.asarray(out_lens)
         hyps += greedy_decode_to_strings(
             np.argmax(lp_np, -1), lens_np, LABELS, len(LABELS))[: len(chunk)]
-        confs += sum_logprob(lp_np, lens_np)[: len(chunk)].tolist()
+        for m in MEASURES:
+            confs[m] += confidence_scores(
+                lp_np, lens_np, len(LABELS), m)[: len(chunk)].tolist()
     return stems, refs, hyps, confs
 
 
@@ -170,6 +177,10 @@ def main() -> None:
     ap.add_argument("--pseudo_start_frac", type=float, default=0.75,
                     help="fraction of training after which injection starts")
     ap.add_argument("--pseudo_every", type=int, default=3)
+    ap.add_argument("--measure", choices=MEASURES, default="ref",
+                    help="confidence measure for the injection filter "
+                         "(diagnose mode reports all of them; pick the one "
+                         "whose sweep shows kept-label CER << pool CER)")
     ap.add_argument("--mode", choices=("smoke", "low_label"), default="smoke",
                     help="low_label requires injection to WIN (>=10%% "
                          "relative dev-CER gain), not just not-hurt")
@@ -245,6 +256,7 @@ def main() -> None:
                                 if inject else args.epochs + 1),
             pseudo_every_n_epochs=args.pseudo_every,
             pseudo_confidence_threshold=args.threshold,
+            pseudo_confidence_measure=args.measure,
             hparams={"labels": LABELS, "feature_in": 512, "in_c": 64},
         )
         state = trainer.fit()
@@ -260,30 +272,59 @@ def main() -> None:
             model_c, state_c, root, corrupt_manifest, args.batch_size)
         from lightning_asr_tpu.metrics.wer import word_error_rate
         pool_cer = float(word_error_rate(c_hyps, c_refs, use_cer=True))
-        sweep = []
-        for th in (0.08, 0.10, 0.12, 0.14, 0.16, 0.18, 0.20, 0.22, 0.26):
-            kc = [i for i, c in enumerate(c_confs) if c <= th]
-            kx = sum(1 for c in x_confs if c <= th)
-            cer_k = (float(word_error_rate(
-                [c_hyps[i] for i in kc], [c_refs[i] for i in kc],
-                use_cer=True)) if kc else None)
-            exact = (round(100.0 * sum(c_hyps[i] == c_refs[i] for i in kc)
-                           / len(kc), 1) if kc else None)
-            sweep.append({"threshold": th, "kept_clean": len(kc),
-                          "kept_clean_pct": round(100.0 * len(kc) / pool_clean, 1),
-                          "kept_corrupted_pct": round(100.0 * kx / pool_corrupt, 1),
-                          "kept_clean_label_cer": cer_k,
-                          "kept_exact_pct": exact})
+        per_utt_cer = np.array([
+            float(word_error_rate([h], [r], use_cer=True))
+            for h, r in zip(c_hyps, c_refs)])
+
+        def spearman(a, b):
+            def rank(v):
+                order = np.argsort(v)
+                rk = np.empty(len(v))
+                rk[order] = np.arange(len(v))
+                return rk
+            ra, rb = rank(np.asarray(a)), rank(np.asarray(b))
+            ra, rb = ra - ra.mean(), rb - rb.mean()
+            den = float(np.sqrt((ra ** 2).sum() * (rb ** 2).sum()))
+            return float((ra * rb).sum() / den) if den else 0.0
+
+        by_measure = {}
+        for m in MEASURES:
+            conf = np.asarray(c_confs[m])
+            sweep = []
+            # quantile thresholds: keep the q% most-confident slice of the
+            # pool (threshold value reported so the double-arm run can pin
+            # it as an absolute number)
+            for q in (5, 10, 25, 50, 75, 90):
+                th = float(np.percentile(conf, q))
+                kc = np.where(conf <= th)[0]
+                kx = int((np.asarray(x_confs[m]) <= th).sum())
+                cer_k = (float(word_error_rate(
+                    [c_hyps[i] for i in kc], [c_refs[i] for i in kc],
+                    use_cer=True)) if len(kc) else None)
+                exact = (round(100.0 * sum(c_hyps[i] == c_refs[i] for i in kc)
+                               / len(kc), 1) if len(kc) else None)
+                sweep.append({
+                    "keep_quantile_pct": q, "threshold": round(th, 5),
+                    "kept_clean": int(len(kc)),
+                    "kept_corrupted_pct": round(100.0 * kx / pool_corrupt, 1),
+                    "kept_clean_label_cer": cer_k,
+                    "kept_exact_pct": exact})
+            by_measure[m] = {
+                "spearman_conf_vs_cer": round(spearman(conf, per_utt_cer), 4),
+                "sweep": sweep}
         report = {"mode": "diagnose", "labeled_utts": args.utts,
                   "epochs": args.epochs, "pool_noise": list(pool_noise),
                   "dev_cer_control": cer_control,
                   "pool_clean_cer_unfiltered": pool_cer,
                   "pool_clean": pool_clean, "pool_corrupted": pool_corrupt,
-                  "sweep": sweep,
-                  "note": ("injection can only win if some threshold keeps a "
-                           "meaningful fraction of the pool at label CER well "
-                           "below dev_cer_control (confidence selects "
-                           "CORRECT decodes, not just pattern-vs-noise)")}
+                  "by_measure": by_measure,
+                  "note": ("injection can only win if some (measure, "
+                           "threshold) keeps a meaningful fraction of the "
+                           "pool at label CER well below "
+                           "pool_clean_cer_unfiltered (confidence must "
+                           "select CORRECT decodes, not just "
+                           "pattern-vs-noise); spearman > 0 means the "
+                           "measure ranks bad decodes as less confident")}
         out = Path(__file__).resolve().parents[1] / args.out
         out.write_text(json.dumps(report, indent=2) + "\n")
         print(json.dumps(report))
@@ -318,11 +359,16 @@ def main() -> None:
     # (the model a fresh injection decision would be made by) and tabulate
     # keep-rates + kept-label quality per candidate threshold
     sweep = []
-    c_stems, c_refs, c_hyps, c_confs = decode_corpus(
+    c_stems, c_refs, c_hyps, c_confs_all = decode_corpus(
         model_c, state_c, root, clean_manifest, args.batch_size)
-    x_stems, _, _, x_confs = decode_corpus(
+    x_stems, _, _, x_confs_all = decode_corpus(
         model_c, state_c, root, corrupt_manifest, args.batch_size)
-    for th in (0.10, 0.14, 0.18, 0.22, 0.26):
+    c_confs = c_confs_all[args.measure]
+    x_confs = x_confs_all[args.measure]
+    sweep_ths = sorted(set(
+        [round(float(np.percentile(np.asarray(c_confs), q)), 5)
+         for q in (10, 25, 50, 75)] + [args.threshold]))
+    for th in sweep_ths:
         kc = [i for i, c in enumerate(c_confs) if c <= th]
         kx = sum(1 for c in x_confs if c <= th)
         cer_k = (float(word_error_rate([c_hyps[i] for i in kc],
@@ -337,6 +383,7 @@ def main() -> None:
         "mode": args.mode,
         "labeled_utts": args.utts, "epochs": args.epochs,
         "confidence_threshold": args.threshold,
+        "confidence_measure": args.measure,
         "pseudo_start_epoch": max(int(args.pseudo_start_frac * args.epochs), 2),
         "pseudo_every_n_epochs": args.pseudo_every,
         "pseudo_pool_clean": pool_clean,

@@ -45,6 +45,44 @@ def test_confidence_matches_reference_loop(use_blank_id):
     np.testing.assert_allclose(score, golden[0], rtol=1e-6)
 
 
+def test_confidence_measure_zoo():
+    """The measure zoo (beyond reference, used by the pseudo-label filter
+    via SSLTrainer(pseudo_confidence_measure=...)): every measure is
+    lower-is-more-confident and respects valid lengths."""
+    from lightning_asr_tpu.ssl_codec.confidence import confidence_scores
+
+    rng = np.random.default_rng(1)
+    B, T, C = 3, 24, 9
+    # row 0: peaked (confident) distributions; row 1: near-uniform; row 2:
+    # peaked except one garbage frame inside the valid region
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    logits[0] += 8.0 * np.eye(C)[rng.integers(0, C - 1, T)]
+    logits[2] += 8.0 * np.eye(C)[rng.integers(0, C - 1, T)]
+    logits[2, 5] = 0.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lens = np.array([T, T, T])
+
+    for m in ("ref", "nonblank", "min_maxlp", "entropy"):
+        s = confidence_scores(lp, lens, blank_id=C - 1, measure=m)
+        assert s.shape == (B,)
+        assert s[0] < s[1], m  # peaked beats uniform on every measure
+    # the weakest-frame measure flags the garbage frame the mean hides
+    s_min = confidence_scores(lp, lens, blank_id=C - 1, measure="min_maxlp")
+    s_ref = confidence_scores(lp, lens, blank_id=C - 1, measure="ref")
+    assert (s_min[2] - s_min[0]) > (s_ref[2] - s_ref[0])
+    # ref == sum_logprob with the never-firing blank check
+    np.testing.assert_allclose(
+        confidence_scores(lp, lens, blank_id=C - 1, measure="ref"),
+        sum_logprob(lp, lens, None), rtol=1e-6)
+    # length masking: padding frames must not affect scores
+    lp2 = lp.copy()
+    lp2[:, 12:] = -1e9 * 0 + rng.standard_normal((B, T - 12, C))
+    for m in ("ref", "nonblank", "min_maxlp", "entropy"):
+        a = confidence_scores(lp, np.array([12] * B), C - 1, m)
+        b = confidence_scores(lp2, np.array([12] * B), C - 1, m)
+        np.testing.assert_allclose(a, b, rtol=1e-5, err_msg=m)
+
+
 @pytest.fixture
 def ssl_corpus(tmp_path):
     """Manifest + offline pkl features (no audio needed)."""
