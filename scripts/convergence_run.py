@@ -129,6 +129,12 @@ def main() -> None:
                          "the curve from the tag's existing CONVERGENCE.json "
                          "entry (an interrupted run picks up mid-schedule; "
                          "state.step restores CAWR phase exactly)")
+    ap.add_argument("--device_cache", action="store_true",
+                    help="HBM-resident replay mode (train.device_cache): "
+                         "epoch-0 batches stay on device, the reference crop "
+                         "re-rolls in-graph per replay.  Used for the "
+                         "fresh-crop convergence parity A/B vs the host "
+                         "pipeline (VERDICT r3 #6).")
     ap.add_argument("--chunk_epochs", type=int, default=0,
                     help="stop (cleanly, after a validated+checkpointed epoch) "
                          "once N epochs have trained in THIS process.  The "
@@ -140,7 +146,8 @@ def main() -> None:
                          "to a multiple of --val_every so the stop lands on "
                          "a checkpoint boundary.")
     args = ap.parse_args()
-    tag = args.tag or f"{args.scheduler}_{args.utts}"
+    tag = args.tag or (f"{args.scheduler}_{args.utts}"
+                       + ("_devcache" if args.device_cache else ""))
 
     import jax.numpy as jnp
 
@@ -243,6 +250,7 @@ def main() -> None:
             "epochs": total_epochs, "batch_size": args.batch_size,
             "steps_per_epoch": steps_per_epoch,
             "scheduler": args.scheduler,
+            "device_cache": args.device_cache,
             "recipe": ({"optimizer": "novograd", "betas": [0.8, 0.5],
                         "lr": 1e-2, "weight_decay": 1e-3,
                         "schedule": "cosine_warmup_restarts",
@@ -306,7 +314,7 @@ def main() -> None:
         sample_log_every_n_batches=10**9,
         frontend=MelFrontendConfig(precision="default"),
         augment=True, freq_mask=27, time_mask=0.07,
-        plateau=plateau,
+        plateau=plateau, device_cache=args.device_cache,
         hparams={"labels": LABELS, "recipe": tag},
     )
     trainer.fit(resume=resume_from)
