@@ -253,7 +253,15 @@ def main() -> None:
     if not manifest.exists():
         manifest = make_corpus(root, args.hours)
 
+    # partial re-runs (e.g. --modes device_cache after a recipe change) merge
+    # over the existing artifact so the other modes' evidence is kept
+    out = Path(__file__).resolve().parents[1] / "BENCH_E2E.json"
     results = {}
+    if out.exists():
+        try:
+            results = json.loads(out.read_text()).get("modes", {})
+        except Exception:
+            results = {}
     for mode in args.modes.split(","):
         mode = mode.strip()
         print(f"=== mode: {mode} ===")
@@ -277,7 +285,6 @@ def main() -> None:
         "modes": results,
         "environment_analysis": _environment_probes(probe_dm),
     }
-    out = Path(__file__).resolve().parents[1] / "BENCH_E2E.json"
     out.write_text(json.dumps(report, indent=2) + "\n")
     print(json.dumps({k: report[k] for k in
                       ("metric", "value", "unit", "vs_baseline", "headline_mode")}))

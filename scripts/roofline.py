@@ -112,8 +112,24 @@ def analytic_classes(T_mel: int, n_params: int) -> dict:
                           "peak": PEAK_MXU_BF16},
         "depthwise": {"flops": dw_flops, "bytes": dw_bytes,
                       "peak": PEAK_VPU_FP32,
+                      # The naive bound counts only FMAs.  In NWC layout T
+                      # lives on the 8-deep sublane axis, so each of the k
+                      # taps needs a sublane-SHIFTED copy of the operand
+                      # before its FMA — one extra vector op per FMA-element
+                      # (tpu.dynamic_rotate / unaligned-slice lowering; see
+                      # ops/sepconv_pallas.py notes).  At best 1-in-8 taps is
+                      # 8-aligned (free), so the achievable floor is
+                      # ~(1 + 7/8) x the FMA-only bound; we report the full
+                      # 2x shift-aware bound as the honest bracket ceiling.
+                      "ops_factor_shift_aware": 2.0,
                       "note": "no cross-channel contraction -> VPU-bound, "
-                              "the MXU cannot help"},
+                              "the MXU cannot help; every tap additionally "
+                              "needs a sublane-shifted operand copy (~1 "
+                              "vector op per FMA), so the achievable floor "
+                              "lies between bound_ms and "
+                              "bound_shift_aware_ms = 2 x bound_ms — both "
+                              "Pallas reformulations measured SLOWER than "
+                              "XLA here (DW_AB.json, ROADMAP 'fused sepconv')"},
         "batchnorm": {"flops": 0, "bytes": bn_bytes, "peak": PEAK_MXU_BF16},
         "lstm": {"flops": lstm_flops, "bytes": lstm_bytes,
                  "peak": PEAK_MXU_FP32,
@@ -255,6 +271,7 @@ def main() -> None:
 
     table = {}
     sum_bound = 0.0
+    sum_bound_sa = 0.0  # with the shift-aware depthwise floor
     for cls, msr in sorted(measured.items(), key=lambda kv: -kv[1]):
         b = bounds.get(cls)
         row = {"measured_ms": round(msr, 3)}
@@ -269,9 +286,16 @@ def main() -> None:
                 "binding": "compute" if t_comp >= t_bw else "bandwidth",
                 "pct_of_bound": round(100.0 * bound / msr, 1) if msr > 0 else None,
             })
+            sa = bound
+            if "ops_factor_shift_aware" in b:
+                sa = max(t_comp * b["ops_factor_shift_aware"], t_bw)
+                row["bound_shift_aware_ms"] = round(sa, 3)
+                row["pct_of_shift_aware_bound"] = (
+                    round(100.0 * sa / msr, 1) if msr > 0 else None)
             if "note" in b:
                 row["note"] = b["note"]
             sum_bound += bound
+            sum_bound_sa += sa
         else:
             row["note"] = "no analytic bound (copies, layout, control)"
         table[cls] = row
@@ -294,6 +318,10 @@ def main() -> None:
         "speed_of_light_ms": round(sum_bound, 2),
         "mfu_at_speed_of_light": round(
             step_flops / (sum_bound / 1e3) / PEAK_MXU_BF16, 4) if sum_bound else None,
+        "speed_of_light_shift_aware_ms": round(sum_bound_sa, 2),
+        "mfu_at_shift_aware_sol": round(
+            step_flops / (sum_bound_sa / 1e3) / PEAK_MXU_BF16, 4)
+            if sum_bound_sa else None,
         "peaks": {"mxu_bf16_TFLOPs": PEAK_MXU_BF16 / 1e12,
                   "mxu_fp32_TFLOPs": PEAK_MXU_FP32 / 1e12,
                   "vpu_fp32_TFLOPs": PEAK_VPU_FP32 / 1e12,
