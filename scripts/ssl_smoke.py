@@ -184,6 +184,11 @@ def main() -> None:
     ap.add_argument("--mode", choices=("smoke", "low_label"), default="smoke",
                     help="low_label requires injection to WIN (>=10%% "
                          "relative dev-CER gain), not just not-hurt")
+    ap.add_argument("--augment", action="store_true",
+                    help="train BOTH arms with the reference's features_"
+                         "cutout (ssl_data_module.py:332-350) — the noisy-"
+                         "student mechanism pseudo-labeling pairs with: "
+                         "decode clean, train augmented")
     ap.add_argument("--diagnose", action="store_true",
                     help="train ONLY the control arm, then report the "
                          "confidence->correctness sweep (does a threshold "
@@ -234,10 +239,16 @@ def main() -> None:
                             dtype=jnp.bfloat16, in_c=64, feature_in=512)
         steps = dm.steps_per_epoch()
         first_cycle = max(args.epochs * steps, 2)
+        # low_label A/B fairness: injection ~triples the injection arm's
+        # steps/epoch, so its step-based cosine cycle ends early and would
+        # RESTART at full max_lr right before eval.  gamma=0.02 makes every
+        # restart cycle effectively flat at ~min_lr, so BOTH arms finish
+        # converged at the LR floor and the A/B isolates the injected data.
+        gamma = 0.02 if args.mode == "low_label" else 1.0
         schedule = cosine_annealing_warmup_restarts(
             first_cycle_steps=first_cycle, cycle_mult=1,
             max_lr=5e-3, min_lr=1e-4,
-            warmup_steps=min(60, steps * 2, first_cycle - 1), gamma=1.0)
+            warmup_steps=min(60, steps * 2, first_cycle - 1), gamma=gamma)
         opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
         trainer = SSLTrainer(
             model, opt, dm, total_epochs=args.epochs, run_dir=root / f"run_{inject}",
@@ -245,10 +256,13 @@ def main() -> None:
             check_val_every_n_epoch=max(args.epochs // 2, 1),
             log_every_n_steps=50, train_wer_every_n_steps=10**9,
             sample_log_every_n_batches=10**9,
-            # like sanity_overfit: augmentation off for the convergence gate
-            # (features_cutout wipes large fractions of these short synthetic
-            # utterances; its mechanics are covered by tests/test_ssl.py)
-            augment=False,
+            # smoke default: augmentation off for the convergence gate
+            # (features_cutout mechanics are covered by tests/test_ssl.py);
+            # --augment turns the reference's cutout on for BOTH arms —
+            # at these ~125-200-frame utterances the 5 rects cover ~8% of
+            # cells on average, and decode-clean/train-augmented is the
+            # noisy-student mechanism the pseudo loop pairs with
+            augment=("cutout" if args.augment else False),
             # exercise the pseudo loop well before the reference's epoch-300
             # gate, but late enough that decodes are confident, with a
             # meaningfully strict threshold (reference: 0.01)
@@ -382,6 +396,8 @@ def main() -> None:
     report = {
         "mode": args.mode,
         "labeled_utts": args.utts, "epochs": args.epochs,
+        "augment": "cutout" if args.augment else False,
+        "schedule_gamma": 0.02 if args.mode == "low_label" else 1.0,
         "confidence_threshold": args.threshold,
         "confidence_measure": args.measure,
         "pseudo_start_epoch": max(int(args.pseudo_start_frac * args.epochs), 2),
