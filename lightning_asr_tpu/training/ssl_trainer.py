@@ -51,6 +51,27 @@ class SSLTrainer(Trainer):
         if not getattr(self.dm, "unlabeled_entries", None):
             return
         logger.info("pseudo-labeling pass at epoch %d", epoch)
+        self._pseudo_pass(state)
+
+    def on_resume(self, state, start_epoch) -> None:
+        """Chunked-resume parity: the injected pseudo set lives in the
+        datamodule, not the checkpoint, so a fresh process resuming past
+        ``pseudo_start_epoch`` would train labeled-only until the next
+        scheduled pass.  Re-run the pass once at resume so the train set
+        matches what the monolithic run would be using at this epoch (the
+        decode uses the restored weights — the same model the last
+        scheduled pass before the stop would have used, one pass later)."""
+        every = self.pseudo_every_n_epochs
+        fired = any(e % every == 0
+                    for e in range(self.pseudo_start_epoch, start_epoch))
+        if not fired:
+            return
+        if not getattr(self.dm, "unlabeled_entries", None):
+            return
+        logger.info("pseudo-labeling refresh on resume at epoch %d", start_epoch)
+        self._pseudo_pass(state)
+
+    def _pseudo_pass(self, state) -> None:
         kept = []
         total = 0
         for batch in prefetch(iter(self.dm.pseudo_train_dataloader()), self.dm.prefetch_depth):

@@ -290,6 +290,12 @@ class Trainer:
                         "counters restart", self.plateau.lr)
             logger.info("resumed from %s at epoch %d", resume, start_epoch)
         self.global_step = int(state.step)
+        if resume:
+            # subclass hook: rebuild any epoch-dependent side state the
+            # checkpoint does not carry (e.g. the SSL trainer's injected
+            # pseudo-label set) so a chunked resume trains the same data a
+            # monolithic run would at this epoch
+            self.on_resume(state, start_epoch)
 
         self.loggers.log_hyperparams(self.hparams)
         n_params = sum(p.size for p in jax.tree.leaves(state.params))
@@ -407,6 +413,9 @@ class Trainer:
         pass
 
     def on_train_epoch_end(self, state, epoch) -> None:
+        pass
+
+    def on_resume(self, state, start_epoch) -> None:
         pass
 
     def _device_iter(self, batcher):

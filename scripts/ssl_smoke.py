@@ -196,6 +196,26 @@ def main() -> None:
                          "the model's overall CER?) — the cheap prerequisite "
                          "check before paying for a double-arm run")
     ap.add_argument("--out", type=str, default="SSL_SMOKE.json")
+    # Chunked-resume plumbing: the tunneled axon client leaks ~batch-nbytes
+    # of host RAM per host->device transfer (see CLAUDE.md), so long runs
+    # must be split over fresh processes.  The driver loop re-invokes this
+    # script with --root/--resume/--chunk_epochs until each arm writes its
+    # arm_<name>.json marker; the control arm then composes the final report.
+    ap.add_argument("--root", type=str, default="",
+                    help="persistent corpus/run dir (default: fresh mkdtemp);"
+                         " reused if its manifests already exist")
+    ap.add_argument("--arm", choices=("both", "pseudo", "control"),
+                    default="both",
+                    help="run a single arm in this process (chunked runs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue the arm from its run dir's last checkpoint")
+    ap.add_argument("--chunk_epochs", type=int, default=0,
+                    help="stop cleanly after N epochs this process (0 = run "
+                         "to completion); stops only on a validation epoch "
+                         "so the resume checkpoint is exact")
+    ap.add_argument("--val_every", type=int, default=0,
+                    help="validation/checkpoint cadence in epochs "
+                         "(0 -> epochs//2, the original smoke behavior)")
     args = ap.parse_args()
 
     import logging
@@ -215,16 +235,27 @@ def main() -> None:
     rng = np.random.default_rng(0)
     patterns = rng.standard_normal((len(LABELS), 512)).astype(np.float32) * 2.0
 
-    root = Path(tempfile.mkdtemp(prefix="ssl_smoke_"))
-    train_manifest = make_corpus(root, args.utts, 1, "train", patterns)
+    root = (Path(args.root) if args.root
+            else Path(tempfile.mkdtemp(prefix="ssl_smoke_")))
+    root.mkdir(parents=True, exist_ok=True)
     pool_clean = args.pool_clean or max(args.utts // 3, 8)
     pool_corrupt = args.pool_corrupt or max(args.utts // 3, 8)
     pool_noise = (0.3, args.pool_noise_hi) if args.pool_noise_hi > 0 else (0.3, 0.3)
-    clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns,
-                                 noise=pool_noise)
-    corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None)
-    dev_manifest = make_corpus(root, args.dev_utts or max(args.utts // 3, 16),
-                               3, "dev", patterns)
+    if (root / "dev_manifest.json").exists():
+        # resumed run: corpora are seed-deterministic, reuse the files
+        train_manifest = root / "train_manifest.json"
+        clean_manifest = root / "pseudo_manifest.json"
+        corrupt_manifest = root / "corrupt_manifest.json"
+        dev_manifest = root / "dev_manifest.json"
+    else:
+        train_manifest = make_corpus(root, args.utts, 1, "train", patterns)
+        clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns,
+                                     noise=pool_noise)
+        corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None)
+        dev_manifest = make_corpus(
+            root, args.dev_utts or max(args.utts // 3, 16), 3, "dev", patterns)
+    val_every = args.val_every or max(args.epochs // 2, 1)
+    chunk = args.chunk_epochs
 
     def run_arm(inject: bool):
         dm = SSLDataModule(
@@ -250,10 +281,28 @@ def main() -> None:
             max_lr=5e-3, min_lr=1e-4,
             warmup_steps=min(60, steps * 2, first_cycle - 1), gamma=gamma)
         opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
-        trainer = SSLTrainer(
+
+        class ChunkedSSLTrainer(SSLTrainer):
+            epochs_this_process = 0
+            resume_start_epoch = 0
+
+            def on_resume(self, state, start_epoch):
+                self.resume_start_epoch = start_epoch
+                super().on_resume(state, start_epoch)
+
+            def on_train_epoch_end(self, state, epoch):
+                super().on_train_epoch_end(state, epoch)
+                self.epochs_this_process += 1
+                if (chunk and self.epochs_this_process >= chunk
+                        and (epoch + 1) % val_every == 0):
+                    # fit() validates + checkpoints this epoch before
+                    # honoring should_stop, so --resume picks up exactly here
+                    self.should_stop = True
+
+        trainer = ChunkedSSLTrainer(
             model, opt, dm, total_epochs=args.epochs, run_dir=root / f"run_{inject}",
             lr_schedule=schedule,
-            check_val_every_n_epoch=max(args.epochs // 2, 1),
+            check_val_every_n_epoch=val_every,
             log_every_n_steps=50, train_wer_every_n_steps=10**9,
             sample_log_every_n_batches=10**9,
             # smoke default: augmentation off for the convergence gate
@@ -273,7 +322,13 @@ def main() -> None:
             pseudo_confidence_measure=args.measure,
             hparams={"labels": LABELS, "feature_in": 512, "in_c": 64},
         )
-        state = trainer.fit()
+        resume_from = None
+        if args.resume and (root / f"run_{inject}" / "checkpoints" / "last").exists():
+            resume_from = "last"
+        state = trainer.fit(resume=resume_from)
+        done_epochs = max(getattr(trainer, "epoch", -1) + 1,
+                          trainer.resume_start_epoch)
+        trainer.completed = done_epochs >= args.epochs
         return dm, model, state, trainer
 
     if args.diagnose:
@@ -344,29 +399,50 @@ def main() -> None:
         print(json.dumps(report))
         return
 
-    # --- arm 1: pseudo injection enabled over the mixed clean+corrupt pool
-    dm, model, state, trainer = run_arm(inject=True)
-    kept_paths = [Path(e.audio_filepath).stem for e in dm.pseudo_entries]
-    kept_clean = sum(1 for s in kept_paths if s.startswith("pseudo"))
-    kept_corrupt = sum(1 for s in kept_paths if s.startswith("corrupt"))
-    cer_train = dev_cer(model, state, root, train_manifest, args.batch_size)
-    cer_inject = dev_cer(model, state, root, dev_manifest, args.batch_size)
-
-    # quality of the labels that were actually injected: kept-clean pseudo
-    # texts vs the clean pool's TRUE transcripts (known — we generated them)
     from lightning_asr_tpu.metrics.wer import word_error_rate
 
-    true_clean = {Path(json.loads(l)["audio_filepath"]).stem: json.loads(l)["text"]
-                  for l in open(clean_manifest)}
-    kept_pairs = [(e.text, true_clean[Path(e.audio_filepath).stem])
-                  for e in dm.pseudo_entries
-                  if Path(e.audio_filepath).stem in true_clean]
-    kept_clean_label_cer = (float(word_error_rate(
-        [h for h, _ in kept_pairs], [r for _, r in kept_pairs], use_cer=True))
-        if kept_pairs else None)
+    # --- arm 1: pseudo injection enabled over the mixed clean+corrupt pool
+    pseudo_marker = root / "arm_pseudo.json"
+    if args.arm in ("both", "pseudo") and not pseudo_marker.exists():
+        dm, model, state, trainer = run_arm(inject=True)
+        if not trainer.completed:
+            print(json.dumps({"arm": "pseudo", "status": "chunk_done",
+                              "epochs_done": getattr(trainer, "epoch", -1) + 1}))
+            return
+        kept_paths = [Path(e.audio_filepath).stem for e in dm.pseudo_entries]
+        kept_clean = sum(1 for s in kept_paths if s.startswith("pseudo"))
+        kept_corrupt = sum(1 for s in kept_paths if s.startswith("corrupt"))
+        cer_train = dev_cer(model, state, root, train_manifest, args.batch_size)
+        cer_inject = dev_cer(model, state, root, dev_manifest, args.batch_size)
+
+        # quality of the labels actually injected: kept-clean pseudo texts
+        # vs the clean pool's TRUE transcripts (known — we generated them)
+        true_clean = {Path(json.loads(l)["audio_filepath"]).stem:
+                      json.loads(l)["text"] for l in open(clean_manifest)}
+        kept_pairs = [(e.text, true_clean[Path(e.audio_filepath).stem])
+                      for e in dm.pseudo_entries
+                      if Path(e.audio_filepath).stem in true_clean]
+        kept_clean_label_cer = (float(word_error_rate(
+            [h for h, _ in kept_pairs], [r for _, r in kept_pairs],
+            use_cer=True)) if kept_pairs else None)
+        pseudo_marker.write_text(json.dumps({
+            "kept_clean": int(kept_clean), "kept_corrupt": int(kept_corrupt),
+            "kept_clean_label_cer": kept_clean_label_cer,
+            "cer_train": cer_train, "cer_inject": cer_inject}))
+    if args.arm == "pseudo":
+        print(json.dumps({"arm": "pseudo", "status": "done"}))
+        return
+    arm1 = json.loads(pseudo_marker.read_text())
+    kept_clean, kept_corrupt = arm1["kept_clean"], arm1["kept_corrupt"]
+    kept_clean_label_cer = arm1["kept_clean_label_cer"]
+    cer_train, cer_inject = arm1["cer_train"], arm1["cer_inject"]
 
     # --- arm 2: control, injection disabled, otherwise identical
-    _, model_c, state_c, _ = run_arm(inject=False)
+    _, model_c, state_c, trainer_c = run_arm(inject=False)
+    if not trainer_c.completed:
+        print(json.dumps({"arm": "control", "status": "chunk_done",
+                          "epochs_done": getattr(trainer_c, "epoch", -1) + 1}))
+        return
     cer_control = dev_cer(model_c, state_c, root, dev_manifest, args.batch_size)
 
     # post-hoc threshold sweep: score the whole pool with the CONTROL model
@@ -392,6 +468,8 @@ def main() -> None:
                       "kept_clean_pct": round(100.0 * len(kc) / pool_clean, 1),
                       "kept_corrupted_pct": round(100.0 * kx / pool_corrupt, 1),
                       "kept_clean_label_cer": cer_k})
+    (root / "arm_control.json").write_text(json.dumps(
+        {"cer_control": cer_control, "sweep": sweep}))
 
     report = {
         "mode": args.mode,
