@@ -207,3 +207,33 @@ def test_pseudo_pass_carries_manifest_durations(ssl_corpus, monkeypatch):
         # duration came from the manifest, NOT from probing the (absent) wav
         assert e.duration == pytest.approx(durs[e.audio_filepath])
         assert e.text == "cat"
+
+
+def test_ssl_on_resume_refresh_gating():
+    """Chunked resume re-runs the pseudo pass iff a scheduled pass had
+    already fired before the resume epoch (Trainer.on_resume hook)."""
+    from lightning_asr_tpu.training.ssl_trainer import SSLTrainer
+
+    t = SSLTrainer.__new__(SSLTrainer)
+    t.pseudo_start_epoch = 15
+    t.pseudo_every_n_epochs = 4
+
+    class _DM:
+        unlabeled_entries = [object()]
+
+    t.dm = _DM()
+    calls = []
+    t._pseudo_pass = lambda state: calls.append(state)
+
+    t.on_resume(None, 10)   # before pseudo_start: nothing fired
+    assert calls == []
+    # first scheduled pass is epoch 16 (15 % 4 != 0); resuming AT 16 means
+    # epochs 0-15 ran, the epoch-16 pass has not happened yet
+    t.on_resume(None, 16)
+    assert calls == []
+    t.on_resume(None, 17)   # epoch-16 pass fired before the stop
+    assert len(calls) == 1
+    # no unlabeled pool -> never refresh
+    t.dm.unlabeled_entries = []
+    t.on_resume(None, 30)
+    assert len(calls) == 1
