@@ -1,3 +1,4 @@
+from .clipping import with_gradient_clipping
 from .novograd import novograd, novograd_with_runtime_lr
 from .schedules import (
     cosine_annealing_warmup_restarts,
@@ -7,6 +8,7 @@ from .schedules import (
 )
 
 __all__ = [
+    "with_gradient_clipping",
     "novograd",
     "novograd_with_runtime_lr",
     "cosine_annealing_warmup_restarts",

@@ -93,6 +93,7 @@ def make_train_step(
     normalize: bool = True,
     crop: bool = False,
     crop_weight: float = 0.98,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -106,6 +107,17 @@ def make_train_step(
     mode, whose HBM-resident batches carry uncropped waveforms so every
     replay epoch re-rolls the crop like the host loader does per epoch
     (``/root/reference/data_module.py:138-148``).
+
+    ``accum_steps`` > 1 is gradient accumulation, TPU-inverted relative to
+    the reference's ``accumulate_grad_batches`` (``train.py:244``): instead
+    of holding grads across k loader batches, the step splits ONE (k×
+    larger) device batch into k sequential micro-batches under
+    ``lax.scan`` — forward/backward activations live for one micro-batch
+    at a time, so the effective batch grows k× past the HBM activation
+    ceiling while XLA still sees a single fused graph and the optimizer
+    updates once per step.  BN batch stats update per micro-batch
+    (sequentially carried), matching what k separate small batches would
+    do.  The batch size must divide by ``accum_steps``.
     """
     if augment is True:
         augment = "specaugment"
@@ -140,21 +152,51 @@ def make_train_step(
             feats = normalize_features(feats, feat_lens)
         percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
 
-        def loss_fn(params):
+        def loss_fn(params, stats, feats_m, percents_m, targets_m, tlens_m, rd):
             (log_probs, out_lens), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                feats, percents, True,
-                rngs={"dropout": r_drop},
+                {"params": params, "batch_stats": stats},
+                feats_m, percents_m, True,
+                rngs={"dropout": rd},
                 mutable=["batch_stats"],
             )
             loss = jnp.mean(
-                ctc_loss(log_probs, out_lens, batch["targets"], batch["target_lens"], blank_id)
+                ctc_loss(log_probs, out_lens, targets_m, tlens_m, blank_id)
             )
             return loss, (mutated["batch_stats"], log_probs, out_lens)
 
-        (loss, (new_stats, log_probs, out_lens)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps <= 1:
+            (loss, (new_stats, log_probs, out_lens)), grads = grad_fn(
+                state.params, state.batch_stats, feats, percents,
+                batch["targets"], batch["target_lens"], r_drop)
+        else:
+            B = feats.shape[0]
+            if B % accum_steps:
+                raise ValueError(
+                    f"batch size {B} must divide by accum_steps={accum_steps}")
+            mb = B // accum_steps
+            split = lambda x: x.reshape((accum_steps, mb) + x.shape[1:])
+            xs = (split(feats), split(percents), split(batch["targets"]),
+                  split(batch["target_lens"]),
+                  jax.random.split(r_drop, accum_steps))
+
+            def body(carry, x):
+                stats, grad_sum, loss_sum = carry
+                f, p, t, tl, rd = x
+                (l, (nstats, lp, ol)), g = grad_fn(
+                    state.params, stats, f, p, t, tl, rd)
+                grad_sum = jax.tree.map(jnp.add, grad_sum, g)
+                return (nstats, grad_sum, loss_sum + l), (lp, ol)
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grad_sum, loss_sum), (lp_s, ol_s) = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_grads, jnp.zeros((), jnp.float32)),
+                xs)
+            loss = loss_sum / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+            log_probs = lp_s.reshape((B,) + lp_s.shape[2:])
+            out_lens = ol_s.reshape((B,))
         return _guarded_update(state, optimizer, loss, grads, new_stats,
                                log_probs, out_lens)
 

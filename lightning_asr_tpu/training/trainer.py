@@ -13,6 +13,7 @@ over ICI), background host prefetch, in-graph NaN-skip guard.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import time
 from pathlib import Path
@@ -48,6 +49,36 @@ def _local_np(arr) -> np.ndarray:
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
+def _find_hyperparams_state(opt_state):
+    """Locate the inject_hyperparams sub-state inside a possibly-chained
+    optimizer state (gradient clipping wraps the optimizer in optax.chain,
+    so the runtime-lr state is nested one tuple deep)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if isinstance(opt_state, tuple):
+        for sub in opt_state:
+            found = _find_hyperparams_state(sub)
+            if found is not None:
+                return found
+    return None
+
+
+def _resolve_batch_limit(limit, batcher) -> Optional[int]:
+    """Lightning ``limit_{train,val}_batches`` semantics — the reference
+    pins both to 1.0 = everything (``/root/reference/train.py:245-246``):
+    a float < 1.0 is a fraction of the loader's batches, an int is an
+    absolute batch count (0 disables the loop), 1.0/None means no cap."""
+    if limit is None:
+        return None
+    if isinstance(limit, float):
+        if limit >= 1.0:
+            return None
+        if limit <= 0.0:
+            return 0
+        return max(int(round(len(batcher) * limit)), 1)
+    return max(int(limit), 0)
+
+
 class Trainer:
     def __init__(
         self,
@@ -76,6 +107,9 @@ class Trainer:
         plateau=None,
         plateau_monitor: str = "val_loss",
         device_cache: bool = False,
+        accumulate_grad_batches: int = 1,
+        limit_train_batches: float | int | None = 1.0,
+        limit_val_batches: float | int | None = 1.0,
     ):
         """``device_cache=True`` keeps every train batch resident in HBM
         after epoch 0: later epochs iterate the SAME device arrays in a
@@ -137,6 +171,8 @@ class Trainer:
         # constant.
         self.plateau = plateau
         self.plateau_monitor = plateau_monitor
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
         self.device_cache = device_cache
         self._epoch_cache: Optional[list] = None  # [(Batch, dev_batch)]
         # device_cache: stage UNCROPPED waves (host crop off) and re-roll
@@ -154,6 +190,7 @@ class Trainer:
             from_features=from_features, normalize=normalize,
             crop=crop_in_graph,
             crop_weight=getattr(datamodule, "crop_weight", 0.98),
+            accum_steps=int(accumulate_grad_batches),
         )
         self._train_step = jax.jit(self._train_fn, donate_argnums=(0,))
         self._train_step_pinned = None  # built lazily for tp meshes
@@ -278,12 +315,13 @@ class Trainer:
                 saved = meta.get("trainer", {}).get("plateau")
                 if saved:
                     self.plateau.load_state_dict(saved)
-                elif hasattr(state.opt_state, "hyperparams"):
+                elif _find_hyperparams_state(state.opt_state) is not None:
                     # legacy checkpoint without controller state: at least
                     # keep the restored runtime lr instead of silently
                     # resetting the schedule to init_lr
                     self.plateau.lr = float(np.asarray(
-                        state.opt_state.hyperparams["learning_rate"]))
+                        _find_hyperparams_state(state.opt_state)
+                        .hyperparams["learning_rate"]))
                     logger.warning(
                         "checkpoint has no plateau controller state; resumed "
                         "lr=%g from the optimizer state but best/patience "
@@ -334,12 +372,12 @@ class Trainer:
         """Update the learning rate inside an inject_hyperparams opt state."""
         import jax.numpy as jnp
 
-        opt_state = state.opt_state
-        if not hasattr(opt_state, "hyperparams"):
+        target = _find_hyperparams_state(state.opt_state)
+        if target is None:
             logger.warning("plateau scheduling requires optax.inject_hyperparams; skipping")
             return state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        return state.replace(opt_state=opt_state)
+        target.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state.replace(opt_state=state.opt_state)
 
     def _pinned_train_step(self, state):
         """Jitted train step with the state OUTPUT shardings pinned to the
@@ -418,23 +456,33 @@ class Trainer:
     def on_resume(self, state, start_epoch) -> None:
         pass
 
-    def _device_iter(self, batcher):
+    def _device_iter(self, batcher, limit: Optional[int] = None):
         """Decode + assemble + host->device transfer in the prefetch thread,
         so transfers overlap device compute (double buffering); yields
-        (host_batch, device_batch)."""
+        (host_batch, device_batch).  ``limit`` caps the SOURCE iterator (not
+        the consumer) so the prefetch worker terminates instead of blocking
+        forever on a full queue when an epoch is truncated."""
         def gen():
-            for batch in batcher:
+            it = iter(batcher)
+            if limit is not None:
+                it = itertools.islice(it, limit)
+            for batch in it:
                 yield batch, self._device_batch(batch)
 
         return prefetch(gen(), self.dm.prefetch_depth)
 
-    def _device_cached_iter(self, epoch: int):
+    def _device_cached_iter(self, epoch: int, batcher=None,
+                            limit: Optional[int] = None):
         """HBM-resident epochs: epoch 0 stages batches normally while
         recording them; later epochs replay the recorded device arrays in a
-        reshuffled order with no host work at all."""
+        reshuffled order with no host work at all.  A ``limit`` caps what
+        epoch 0 records, so every replay epoch trains the same truncated
+        subset (Lightning's limit_train_batches contract)."""
         if self._epoch_cache is None:
             cache = []
-            for batch, dev_batch in self._device_iter(self.dm.train_dataloader(epoch)):
+            if batcher is None:
+                batcher = self.dm.train_dataloader(epoch)
+            for batch, dev_batch in self._device_iter(batcher, limit):
                 cache.append((batch, dev_batch))
                 yield batch, dev_batch
             self._epoch_cache = cache
@@ -451,10 +499,15 @@ class Trainer:
                 yield self._epoch_cache[i]
 
     def _train_epoch(self, state: AsrTrainState, epoch: int) -> AsrTrainState:
-        if self.device_cache:
-            batch_iter = self._device_cached_iter(epoch)
+        if self.device_cache and self._epoch_cache is not None:
+            batch_iter = self._device_cached_iter(epoch)  # replay: no loader
         else:
-            batch_iter = self._device_iter(self.dm.train_dataloader(epoch))
+            batcher = self.dm.train_dataloader(epoch)
+            limit = _resolve_batch_limit(self.limit_train_batches, batcher)
+            if self.device_cache:
+                batch_iter = self._device_cached_iter(epoch, batcher, limit)
+            else:
+                batch_iter = self._device_iter(batcher, limit)
         t_epoch = time.monotonic()
         audio_seconds = 0.0
         n_batches = 0
@@ -520,11 +573,12 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
-    def _eval_loop(self, state: AsrTrainState, batcher, tag: str) -> dict:
+    def _eval_loop(self, state: AsrTrainState, batcher, tag: str,
+                   limit: Optional[int] = None) -> dict:
         metric = WER(self.vocab.labels, self.vocab.use_cer)
         batch_wers = []
         losses = []
-        for i, (batch, dev_batch) in enumerate(self._device_iter(batcher)):
+        for i, (batch, dev_batch) in enumerate(self._device_iter(batcher, limit)):
             with self.profiler.profile(f"{tag}_step"), self._tp_scope():
                 out = self._eval_step(state, dev_batch)
             n = batch.size
@@ -564,7 +618,9 @@ class Trainer:
         }
 
     def validate(self, state: AsrTrainState) -> dict:
-        metrics = self._eval_loop(state, self.dm.val_dataloader(), "val")
+        batcher = self.dm.val_dataloader()
+        limit = _resolve_batch_limit(self.limit_val_batches, batcher)
+        metrics = self._eval_loop(state, batcher, "val", limit)
         logger.info("validation: %s", metrics)
         return metrics
 

@@ -45,7 +45,7 @@ def corpus(tmp_path_factory):
     return manifest
 
 
-def make_trainer(corpus, tmp_path, total_epochs=2):
+def make_trainer(corpus, tmp_path, total_epochs=2, **trainer_kw):
     dm = AsrDataModule(
         train_manifest=str(corpus), dev_manifest=str(corpus), test_manifest=str(corpus),
         labels=LABELS, train_bs=8, dev_bs=8,
@@ -61,6 +61,7 @@ def make_trainer(corpus, tmp_path, total_epochs=2):
         lr_schedule=schedule, log_every_n_steps=1, train_wer_every_n_steps=1,
         frontend=MelFrontendConfig(),
         hparams={"labels": LABELS, "encoder": "quartznet12_context"},
+        **trainer_kw,
     )
 
 
@@ -188,3 +189,35 @@ def test_device_cache_epochs(corpus, tmp_path):
     # in-graph every replay
     assert trainer._crop_in_graph is True
     assert dm.crop is False
+
+
+def test_resolve_batch_limit_semantics():
+    """Lightning limit_{train,val}_batches semantics
+    (/root/reference/train.py:245-246, pinned 1.0 = everything)."""
+    from lightning_asr_tpu.training.trainer import _resolve_batch_limit
+
+    class FakeLoader:
+        def __len__(self):
+            return 10
+
+    b = FakeLoader()
+    assert _resolve_batch_limit(1.0, b) is None
+    assert _resolve_batch_limit(None, b) is None
+    assert _resolve_batch_limit(0.5, b) == 5
+    assert _resolve_batch_limit(0.01, b) == 1  # fraction floors at 1 batch
+    assert _resolve_batch_limit(0.0, b) == 0
+    assert _resolve_batch_limit(3, b) == 3
+    assert _resolve_batch_limit(0, b) == 0
+
+
+def test_limit_train_and_val_batches(corpus, tmp_path):
+    """limit_train_batches=1 truncates every epoch to one step (the prefetch
+    worker must terminate, not block); limit_val_batches caps validation."""
+    trainer = make_trainer(corpus, tmp_path, total_epochs=2,
+                           limit_train_batches=1, limit_val_batches=1)
+    state = trainer.fit()
+    # 16 utts / bs 8 = 2 batches/epoch, capped to 1 x 2 epochs
+    assert int(state.step) == 2
+    assert all(s["batches"] == 1 for s in trainer.epoch_stats)
+    val = trainer.validate(state)
+    assert np.isfinite(val["val_loss"])

@@ -103,6 +103,19 @@ def main(argv=None) -> None:
                                              fused=fused_opt)
         schedule = None
 
+    # Lightning Trainer knobs the reference pins to off/1
+    # (/root/reference/train.py:244,249-250): gradient clipping chains an
+    # optax transform ahead of NovoGrad; accumulation splits each device
+    # batch into k in-graph micro-batches (raise train_batch_size k× to
+    # grow the effective batch — see training/steps.py).
+    clip_val = float(train_cfg.get("gradient_clip_val", 0) or 0)
+    if clip_val:
+        from lightning_asr_tpu.optim import with_gradient_clipping
+
+        optimizer = with_gradient_clipping(
+            optimizer, clip_val,
+            train_cfg.get("gradient_clip_algorithm", "value"))
+
     run_dir = setup_run_dir(cfg, default="outputs/run")
     logger.info("run dir: %s", run_dir)
     import jax
@@ -131,6 +144,9 @@ def main(argv=None) -> None:
         seed=seed,
         plateau=plateau,
         device_cache=train_cfg.get("device_cache", False),
+        accumulate_grad_batches=int(train_cfg.get("accumulate_grad_batches", 1)),
+        limit_train_batches=train_cfg.get("limit_train_batches", 1.0),
+        limit_val_batches=train_cfg.get("limit_val_batches", 1.0),
         hparams={
             "labels": dm.vocab.labels,
             "use_cer": dm.vocab.use_cer,
