@@ -41,8 +41,27 @@ FPS = 50  # wav2vec2 feature rate
 FRAMES_PER_CHAR = 5
 
 
+def speaker_deltas(n_speakers: int, sigma: float, seed: int = 77) -> np.ndarray:
+    """Per-(speaker, char) pattern perturbations — the synthetic "accent".
+
+    Each speaker pronounces every character as ``pattern[c] + delta[s, c]``
+    with ``delta ~ sigma * N(0, I_512)``.  A per-speaker BIAS (one delta for
+    all chars) would be trivially normalized away by BN; per-char deltas make
+    speaker identity change the class-conditional distributions themselves,
+    so a model trained on few speakers genuinely overfits their accents and
+    unlabeled-speaker coverage genuinely helps — the mechanism real
+    pseudo-labeling exploits (``/root/reference/train_ssl.py:223-260``
+    exists to harvest exactly this kind of coverage from unlabeled audio).
+
+    One global seed: speaker s is the SAME accent in every corpus, and
+    corpora are given disjoint speaker id ranges by the caller."""
+    rng = np.random.default_rng(seed)
+    return (sigma * rng.standard_normal(
+        (n_speakers, len(LABELS), 512))).astype(np.float32)
+
+
 def make_corpus(root: Path, n_utts: int, seed: int, name: str,
-                patterns, noise=(0.3, 0.3)) -> Path:
+                patterns, noise=(0.3, 0.3), speakers=None) -> Path:
     """``patterns=None`` writes a CORRUPTED corpus: same shapes/durations,
     but the features are patternless noise at the same scale — the model
     cannot be confident on them, so the pseudo filter must reject them.
@@ -52,7 +71,11 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
     so confidence has per-utterance structure to discriminate on (the
     regime the reference's threshold filter exists for,
     ``/root/reference/train_ssl.py:243-251``) instead of a pool whose
-    utterances are all equally hard by construction."""
+    utterances are all equally hard by construction.
+
+    ``speakers=(deltas, id_lo, id_hi)`` draws a speaker id per utterance
+    from [id_lo, id_hi) and adds ``deltas[spk, char]`` to every emitted
+    pattern (see speaker_deltas)."""
     rng = np.random.default_rng(seed)
     feat_dir = root / "feats"
     feat_dir.mkdir(parents=True, exist_ok=True)
@@ -65,6 +88,8 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
         words = ["".join(rng.choice(LABELS[1:], size=rng.integers(3, 7)))
                  for _ in range(n_words)]
         text = " ".join(words)
+        spk = (int(rng.integers(speakers[1], speakers[2]))
+               if speakers is not None else -1)
         if patterns is None:
             T = len(text) * FRAMES_PER_CHAR
             feats = (2.0 * rng.standard_normal((T, 512))).astype(np.float32)[None]
@@ -73,7 +98,10 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
             frames = []
             for ch in text:
                 idx = LABELS.index(ch)
-                block = patterns[idx][None, :] + scale * rng.standard_normal(
+                base = patterns[idx]
+                if speakers is not None:
+                    base = base + speakers[0][spk, idx]
+                block = base[None, :] + scale * rng.standard_normal(
                     (FRAMES_PER_CHAR, patterns.shape[1])).astype(np.float32)
                 frames.append(block)
             feats = np.concatenate(frames, axis=0).astype(np.float32)[None]
@@ -81,8 +109,11 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
         with open(feat_dir / f"{stem}.pkl", "wb") as f:
             pickle.dump(feats, f)
         dur = feats.shape[1] / FPS
-        rows.append({"audio_filepath": str(root / f"{stem}.wav"),
-                     "duration": dur, "text": text})
+        row = {"audio_filepath": str(root / f"{stem}.wav"),
+               "duration": dur, "text": text}
+        if spk >= 0:
+            row["speaker"] = spk
+        rows.append(row)
     manifest = root / f"{name}_manifest.json"
     with open(manifest, "w") as f:
         for r in rows:
@@ -174,6 +205,32 @@ def main() -> None:
                          "heterogeneous unlabeled audio; labeled/dev stay "
                          "at 0.3)")
     ap.add_argument("--dev_utts", type=int, default=0, help="0 -> utts//3")
+    # Speaker-coverage regime: per-(speaker, char) "accent" perturbations
+    # (see speaker_deltas).  Labeled train covers FEW speakers, dev covers
+    # UNSEEN speakers, the unlabeled pool covers MANY more — so the
+    # supervised baseline has a real generalization gap at convergence and
+    # pseudo-labeling's unlabeled coverage has something structural to add
+    # (the regime /root/reference/train_ssl.py's loop exists for).  0
+    # speakers anywhere = the original speaker-free corpora.
+    ap.add_argument("--spk_train", type=int, default=0,
+                    help="labeled-train speaker count (ids [0, n))")
+    ap.add_argument("--spk_dev", type=int, default=0,
+                    help="dev speaker count, DISJOINT from train")
+    ap.add_argument("--spk_pool", type=int, default=0,
+                    help="unlabeled-pool speaker count, disjoint from both")
+    ap.add_argument("--speaker_sigma", type=float, default=0.8,
+                    help="per-dim sigma of the accent deltas (patterns are "
+                         "sigma 2.0; 0.8 makes accents a large fraction of "
+                         "inter-class distance without destroying identity)")
+    # A/B fairness: injection multiplies the pseudo arm's optimizer steps
+    # (more data per epoch).  --control_epochs 0 keeps the original
+    # same-epoch control; the driver can instead pass a step-matched value
+    # (epochs * expected_step_ratio) so the control gets AT LEAST as many
+    # optimizer steps as the pseudo arm and any win is attributable to the
+    # injected DATA, not to extra optimization.
+    ap.add_argument("--control_epochs", type=int, default=0,
+                    help="override the control arm's epoch budget "
+                         "(0 = same as --epochs)")
     ap.add_argument("--pseudo_start_frac", type=float, default=0.75,
                     help="fraction of training after which injection starts")
     ap.add_argument("--pseudo_every", type=int, default=3)
@@ -248,16 +305,27 @@ def main() -> None:
         corrupt_manifest = root / "corrupt_manifest.json"
         dev_manifest = root / "dev_manifest.json"
     else:
-        train_manifest = make_corpus(root, args.utts, 1, "train", patterns)
+        spk_train = spk_dev = spk_pool = None
+        if args.spk_train > 0:
+            n_spk = args.spk_train + args.spk_dev + args.spk_pool
+            deltas = speaker_deltas(n_spk, args.speaker_sigma)
+            spk_train = (deltas, 0, args.spk_train)
+            spk_dev = (deltas, args.spk_train, args.spk_train + args.spk_dev)
+            spk_pool = (deltas, args.spk_train + args.spk_dev, n_spk)
+        train_manifest = make_corpus(root, args.utts, 1, "train", patterns,
+                                     speakers=spk_train)
         clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns,
-                                     noise=pool_noise)
+                                     noise=pool_noise, speakers=spk_pool)
         corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None)
         dev_manifest = make_corpus(
-            root, args.dev_utts or max(args.utts // 3, 16), 3, "dev", patterns)
+            root, args.dev_utts or max(args.utts // 3, 16), 3, "dev", patterns,
+            speakers=spk_dev)
     val_every = args.val_every or max(args.epochs // 2, 1)
     chunk = args.chunk_epochs
 
     def run_arm(inject: bool):
+        epochs = (args.control_epochs if (not inject and args.control_epochs)
+                  else args.epochs)
         dm = SSLDataModule(
             train_manifest=str(train_manifest), dev_manifest=str(dev_manifest),
             test_manifest=str(dev_manifest), labels=LABELS,
@@ -269,7 +337,7 @@ def main() -> None:
         model = build_model(num_classes=len(LABELS) + 1, mask=True,
                             dtype=jnp.bfloat16, in_c=64, feature_in=512)
         steps = dm.steps_per_epoch()
-        first_cycle = max(args.epochs * steps, 2)
+        first_cycle = max(epochs * steps, 2)
         # low_label A/B fairness: injection ~triples the injection arm's
         # steps/epoch, so its step-based cosine cycle ends early and would
         # RESTART at full max_lr right before eval.  gamma=0.02 makes every
@@ -300,7 +368,7 @@ def main() -> None:
                     self.should_stop = True
 
         trainer = ChunkedSSLTrainer(
-            model, opt, dm, total_epochs=args.epochs, run_dir=root / f"run_{inject}",
+            model, opt, dm, total_epochs=epochs, run_dir=root / f"run_{inject}",
             lr_schedule=schedule,
             check_val_every_n_epoch=val_every,
             log_every_n_steps=50, train_wer_every_n_steps=10**9,
@@ -315,8 +383,8 @@ def main() -> None:
             # exercise the pseudo loop well before the reference's epoch-300
             # gate, but late enough that decodes are confident, with a
             # meaningfully strict threshold (reference: 0.01)
-            pseudo_start_epoch=(max(int(args.pseudo_start_frac * args.epochs), 2)
-                                if inject else args.epochs + 1),
+            pseudo_start_epoch=(max(int(args.pseudo_start_frac * epochs), 2)
+                                if inject else epochs + 1),
             pseudo_every_n_epochs=args.pseudo_every,
             pseudo_confidence_threshold=args.threshold,
             pseudo_confidence_measure=args.measure,
@@ -328,7 +396,7 @@ def main() -> None:
         state = trainer.fit(resume=resume_from)
         done_epochs = max(getattr(trainer, "epoch", -1) + 1,
                           trainer.resume_start_epoch)
-        trainer.completed = done_epochs >= args.epochs
+        trainer.completed = done_epochs >= epochs
         return dm, model, state, trainer
 
     if args.diagnose:
@@ -382,6 +450,10 @@ def main() -> None:
                 "spearman_conf_vs_cer": round(spearman(conf, per_utt_cer), 4),
                 "sweep": sweep}
         report = {"mode": "diagnose", "labeled_utts": args.utts,
+                  "speakers": ({"train": args.spk_train, "dev": args.spk_dev,
+                                "pool": args.spk_pool,
+                                "sigma": args.speaker_sigma}
+                               if args.spk_train else None),
                   "epochs": args.epochs, "pool_noise": list(pool_noise),
                   "dev_cer_control": cer_control,
                   "pool_clean_cer_unfiltered": pool_cer,
@@ -474,6 +546,10 @@ def main() -> None:
     report = {
         "mode": args.mode,
         "labeled_utts": args.utts, "epochs": args.epochs,
+        "control_epochs": args.control_epochs or args.epochs,
+        "speakers": ({"train": args.spk_train, "dev": args.spk_dev,
+                      "pool": args.spk_pool, "sigma": args.speaker_sigma}
+                     if args.spk_train else None),
         "augment": "cutout" if args.augment else False,
         "schedule_gamma": 0.02 if args.mode == "low_label" else 1.0,
         "confidence_threshold": args.threshold,

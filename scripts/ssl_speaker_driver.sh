@@ -1,0 +1,58 @@
+#!/bin/bash
+# Chunked driver for the SPEAKER-COVERAGE low-label SSL A/B (VERDICT r3 #2,
+# round-4 redesign).
+#
+# Why this regime: the speaker-free corpus has no distribution gap — a
+# control arm with enough epochs reaches ~0 dev CER at any label count, so
+# injected pseudo-data has nothing structural to add (measured twice:
+# SSL_SMOKE r3 and the first r4 low-label A/B, where the control WON).
+# With per-(speaker, char) accent deltas (scripts/ssl_smoke.py
+# speaker_deltas), the labeled set covers FEW speakers, dev covers UNSEEN
+# speakers, and the unlabeled pool covers MANY more — the supervised
+# baseline keeps a real generalization gap at convergence and
+# pseudo-labeling's unlabeled coverage is the thing that closes it
+# (the mechanism /root/reference/train_ssl.py:223-260 exists to exploit).
+#
+# Fairness: the control arm gets a STEP-MATCHED epoch budget
+# (CONTROL_EPOCHS >= the pseudo arm's total optimizer steps / its own
+# steps-per-epoch), so a pseudo-arm win is attributable to the injected
+# DATA, not to extra optimization.  Both arms share the flat-tail schedule
+# (gamma 0.02) and end at the LR floor.
+#
+# Chunked per-arm processes because the tunneled axon client leaks host RAM
+# per transfer (CLAUDE.md); checkpoints + arm_<name>.json markers in $ROOT
+# carry state across processes.
+#
+# Usage: setsid nohup bash scripts/ssl_speaker_driver.sh &> /tmp/ssl_spk_ab.log &
+set -u
+cd "$(dirname "$0")/.."
+ROOT=${ROOT:-/tmp/ssl_spk_ab}
+THRESHOLD=${THRESHOLD:-0.13}
+CONTROL_EPOCHS=${CONTROL_EPOCHS:-420}
+ARGS=(--mode low_label --utts 320 --epochs 60
+      --spk_train 8 --spk_dev 24 --spk_pool 64 --speaker_sigma 0.8
+      --pool_clean 2560 --pool_corrupt 320 --pool_noise_hi 0.6
+      --measure entropy --threshold "$THRESHOLD"
+      --pseudo_start_frac 0.25 --pseudo_every 4 --augment
+      --control_epochs "$CONTROL_EPOCHS"
+      --root "$ROOT" --resume --val_every 4 --out SSL_SMOKE.json)
+
+for i in $(seq 1 12); do
+  [ -f "$ROOT/arm_pseudo.json" ] && break
+  echo "=== pseudo arm chunk $i ==="
+  python scripts/ssl_smoke.py "${ARGS[@]}" --arm pseudo --chunk_epochs 12 \
+    || { echo "pseudo arm chunk failed (rc=$?)"; exit 1; }
+done
+for i in $(seq 1 12); do
+  [ -f "$ROOT/arm_control.json" ] && break
+  echo "=== control arm chunk $i ==="
+  python scripts/ssl_smoke.py "${ARGS[@]}" --arm control --chunk_epochs 80
+  rc=$?
+  # the final control invocation composes the report and exits 0/1 on the
+  # gate; distinguish "gate failed" (report written) from a crash
+  if [ -f "$ROOT/arm_control.json" ]; then
+    echo "control arm + report done (rc=$rc)"; exit 0
+  fi
+  [ $rc -ne 0 ] && { echo "control arm chunk failed (rc=$rc)"; exit 1; }
+done
+echo "driver exhausted its chunk budget"; exit 1
