@@ -27,15 +27,31 @@
 set -u
 cd "$(dirname "$0")/.."
 ROOT=${ROOT:-/tmp/ssl_spk_ab}
-THRESHOLD=${THRESHOLD:-0.13}
+# Entropy threshold calibrated on THIS corpus's diagnose sweep
+# (/tmp/ssl_diag_spk2.log, sigma 0.8): the 90%-quantile entropy is 0.459
+# and corrupted-pool rejection is still 100% there, so 0.46 keeps ~90% of
+# the clean pool (coverage is the win mechanism — the diagnose shows
+# confidence provides pattern-vs-noise separation but NOT correctness
+# ranking within the clean pool).  The old 0.13 default came from the
+# speaker-free corpus, whose confident teacher had entropies 0.02-0.13 —
+# on this corpus it would reject essentially everything and reduce the
+# pseudo arm to a second control.
+THRESHOLD=${THRESHOLD:-0.46}
 CONTROL_EPOCHS=${CONTROL_EPOCHS:-420}
+# SIGMA sets how far apart speakers are.  0.8 (the first attempt) makes the
+# teacher ~46% CER on UNSEEN pool speakers — pseudo-labels are noise-
+# dominated and injection can't win; the regime the technique exists for
+# needs a teacher that is decent on the pool while the 8-speaker labeled
+# set still leaves a real dev gap.
+SIGMA=${SIGMA:-0.45}
+OUT=${OUT:-SSL_SMOKE.json}
 ARGS=(--mode low_label --utts 320 --epochs 60
-      --spk_train 8 --spk_dev 24 --spk_pool 64 --speaker_sigma 0.8
+      --spk_train 8 --spk_dev 24 --spk_pool 64 --speaker_sigma "$SIGMA"
       --pool_clean 2560 --pool_corrupt 320 --pool_noise_hi 0.6
       --measure entropy --threshold "$THRESHOLD"
       --pseudo_start_frac 0.25 --pseudo_every 4 --augment
       --control_epochs "$CONTROL_EPOCHS"
-      --root "$ROOT" --resume --val_every 4 --out SSL_SMOKE.json)
+      --root "$ROOT" --resume --val_every 4 --out "$OUT")
 
 for i in $(seq 1 12); do
   [ -f "$ROOT/arm_pseudo.json" ] && break
