@@ -231,6 +231,16 @@ def main() -> None:
     ap.add_argument("--control_epochs", type=int, default=0,
                     help="override the control arm's epoch budget "
                          "(0 = same as --epochs)")
+    ap.add_argument("--first_cycle_epochs", type=int, default=0,
+                    help="pin the cosine schedule's first cycle to THIS "
+                         "many epochs instead of the arm's total (0 = "
+                         "arm total).  Used by the branched converged-"
+                         "teacher A/B: both arms resume from a shared "
+                         "checkpoint whose cycle ended, and must continue "
+                         "at the flat gamma-scaled restart floor — "
+                         "deriving the cycle from the arm's LARGER total "
+                         "would instead stretch the cosine and revive the "
+                         "LR mid-comparison")
     ap.add_argument("--pseudo_start_frac", type=float, default=0.75,
                     help="fraction of training after which injection starts")
     ap.add_argument("--pseudo_every", type=int, default=3)
@@ -337,7 +347,7 @@ def main() -> None:
         model = build_model(num_classes=len(LABELS) + 1, mask=True,
                             dtype=jnp.bfloat16, in_c=64, feature_in=512)
         steps = dm.steps_per_epoch()
-        first_cycle = max(epochs * steps, 2)
+        first_cycle = max((args.first_cycle_epochs or epochs) * steps, 2)
         # low_label A/B fairness: injection ~triples the injection arm's
         # steps/epoch, so its step-based cosine cycle ends early and would
         # RESTART at full max_lr right before eval.  gamma=0.02 makes every
