@@ -231,6 +231,16 @@ def main() -> None:
     ap.add_argument("--control_epochs", type=int, default=0,
                     help="override the control arm's epoch budget "
                          "(0 = same as --epochs)")
+    ap.add_argument("--schedule_gamma", type=float, default=0.0,
+                    help="override the CAWR restart decay for BOTH arms "
+                         "(0 = mode default: 0.02 low_label, 1.0 smoke).  "
+                         "The reference's SSL recipe uses gamma=0.1 "
+                         "(train_ssl.py:62-64) — restarts at 10%% max_lr "
+                         "give a converged model the plasticity to absorb "
+                         "newly injected data; the flat 0.02 floor was "
+                         "measured to make converged-teacher injection a "
+                         "no-op (self-labels at ~zero LR are a fixed "
+                         "point)")
     ap.add_argument("--first_cycle_epochs", type=int, default=0,
                     help="pin the cosine schedule's first cycle to THIS "
                          "many epochs instead of the arm's total (0 = "
@@ -353,7 +363,8 @@ def main() -> None:
         # RESTART at full max_lr right before eval.  gamma=0.02 makes every
         # restart cycle effectively flat at ~min_lr, so BOTH arms finish
         # converged at the LR floor and the A/B isolates the injected data.
-        gamma = 0.02 if args.mode == "low_label" else 1.0
+        gamma = (args.schedule_gamma if args.schedule_gamma > 0
+                 else (0.02 if args.mode == "low_label" else 1.0))
         schedule = cosine_annealing_warmup_restarts(
             first_cycle_steps=first_cycle, cycle_mult=1,
             max_lr=5e-3, min_lr=1e-4,
@@ -561,7 +572,8 @@ def main() -> None:
                       "pool": args.spk_pool, "sigma": args.speaker_sigma}
                      if args.spk_train else None),
         "augment": "cutout" if args.augment else False,
-        "schedule_gamma": 0.02 if args.mode == "low_label" else 1.0,
+        "schedule_gamma": (args.schedule_gamma if args.schedule_gamma > 0
+                           else (0.02 if args.mode == "low_label" else 1.0)),
         "confidence_threshold": args.threshold,
         "confidence_measure": args.measure,
         "pseudo_start_epoch": max(int(args.pseudo_start_frac * args.epochs), 2),
