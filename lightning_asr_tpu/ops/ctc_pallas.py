@@ -321,10 +321,15 @@ def ctc_loss_pallas(
     ext_m2 = jnp.concatenate([jnp.full((B, 2), blank_id, jnp.int32), ext[:, :-2]], axis=1)
     allow_skip = ((~is_blank) & (ext != ext_m2) & state_valid).astype(jnp.float32)
 
-    # emissions via one-hot matmul; invalid states get -inf
+    # emissions via one-hot matmul; invalid states get -inf.  Precision HIGH,
+    # not HIGHEST: the 0/1 operand is exact in bf16, so 3-pass reconstructs
+    # the selected log-prob to <= 2^-16 relative (see ops/ctc.py) at half the
+    # MXU passes — ~3.5 ms/step at the C=4334 AISHELL head.  Matches
+    # ops.ctc.ctc_loss's emission precision so scan-vs-Pallas parity is
+    # unaffected.
     onehot = (ext[:, :, None] == jnp.arange(C)[None, None, :]).astype(jnp.float32)
     emit = jnp.einsum("btc,bsc->tbs", log_probs, onehot,
-                      precision=lax.Precision.HIGHEST)      # (T, B, S_pad)
+                      precision=lax.Precision.HIGH)         # (T, B, S_pad)
     emit = jnp.where(state_valid[None, :, :], emit, NEG_INF)
     # pad T to a chunk multiple; padded steps sit beyond every sample's
     # input length, so they are frozen in the forward and zero-grad in the
