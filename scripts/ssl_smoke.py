@@ -201,9 +201,20 @@ def main() -> None:
                     help="corrupted pool size (0 -> utts//3)")
     ap.add_argument("--pool_noise_hi", type=float, default=0.0,
                     help="if > 0, the clean pool's per-utterance noise "
-                         "scale is drawn from U(0.3, pool_noise_hi) (SNR-"
-                         "heterogeneous unlabeled audio; labeled/dev stay "
-                         "at 0.3)")
+                         "scale is drawn from U(base_noise, pool_noise_hi) "
+                         "(SNR-heterogeneous unlabeled audio; labeled/dev "
+                         "stay at base_noise)")
+    ap.add_argument("--base_noise", type=float, default=0.3,
+                    help="per-frame feature noise scale for train/dev (and "
+                         "the pool's low end).  The data-QUANTITY regime "
+                         "(VERDICT r3 #2 final form) needs this high enough "
+                         "(~1.2 vs pattern sigma 2.0) that a few-hundred-"
+                         "utterance supervised model is variance-limited on "
+                         "dev at convergence — then pseudo-labels with "
+                         "RANDOM (noise-realization-driven) errors average "
+                         "out across the pool and the student can converge "
+                         "BELOW its teacher, unlike systematic speaker-"
+                         "accent errors which self-reinforce")
     ap.add_argument("--dev_utts", type=int, default=0, help="0 -> utts//3")
     # Speaker-coverage regime: per-(speaker, char) "accent" perturbations
     # (see speaker_deltas).  Labeled train covers FEW speakers, dev covers
@@ -266,6 +277,13 @@ def main() -> None:
                          "cutout (ssl_data_module.py:332-350) — the noisy-"
                          "student mechanism pseudo-labeling pairs with: "
                          "decode clean, train augmented")
+    ap.add_argument("--skyline", action="store_true",
+                    help="train ONE arm on train + clean-pool with their "
+                         "TRUE labels (no injection, no filtering) and "
+                         "report dev CER — the data-quantity upper bound a "
+                         "perfect pseudo-labeler could reach.  Run this "
+                         "before paying for the A/B: if the skyline does "
+                         "not beat the control there is no win available")
     ap.add_argument("--diagnose", action="store_true",
                     help="train ONLY the control arm, then report the "
                          "confidence->correctness sweep (does a threshold "
@@ -317,7 +335,9 @@ def main() -> None:
     root.mkdir(parents=True, exist_ok=True)
     pool_clean = args.pool_clean or max(args.utts // 3, 8)
     pool_corrupt = args.pool_corrupt or max(args.utts // 3, 8)
-    pool_noise = (0.3, args.pool_noise_hi) if args.pool_noise_hi > 0 else (0.3, 0.3)
+    base = args.base_noise
+    pool_noise = ((base, args.pool_noise_hi) if args.pool_noise_hi > 0
+                  else (base, base))
     if (root / "dev_manifest.json").exists():
         # resumed run: corpora are seed-deterministic, reuse the files
         train_manifest = root / "train_manifest.json"
@@ -333,21 +353,22 @@ def main() -> None:
             spk_dev = (deltas, args.spk_train, args.spk_train + args.spk_dev)
             spk_pool = (deltas, args.spk_train + args.spk_dev, n_spk)
         train_manifest = make_corpus(root, args.utts, 1, "train", patterns,
-                                     speakers=spk_train)
+                                     noise=(base, base), speakers=spk_train)
         clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns,
                                      noise=pool_noise, speakers=spk_pool)
         corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None)
         dev_manifest = make_corpus(
             root, args.dev_utts or max(args.utts // 3, 16), 3, "dev", patterns,
-            speakers=spk_dev)
+            noise=(base, base), speakers=spk_dev)
     val_every = args.val_every or max(args.epochs // 2, 1)
     chunk = args.chunk_epochs
 
-    def run_arm(inject: bool):
+    def run_arm(inject: bool, train_m=None, run_name=None):
         epochs = (args.control_epochs if (not inject and args.control_epochs)
                   else args.epochs)
         dm = SSLDataModule(
-            train_manifest=str(train_manifest), dev_manifest=str(dev_manifest),
+            train_manifest=str(train_m or train_manifest),
+            dev_manifest=str(dev_manifest),
             test_manifest=str(dev_manifest), labels=LABELS,
             train_bs=args.batch_size, dev_bs=args.batch_size,
             ssl_folder=str(root / "feats"),
@@ -389,7 +410,8 @@ def main() -> None:
                     self.should_stop = True
 
         trainer = ChunkedSSLTrainer(
-            model, opt, dm, total_epochs=epochs, run_dir=root / f"run_{inject}",
+            model, opt, dm, total_epochs=epochs,
+            run_dir=root / (run_name or f"run_{inject}"),
             lr_schedule=schedule,
             check_val_every_n_epoch=val_every,
             log_every_n_steps=50, train_wer_every_n_steps=10**9,
@@ -412,7 +434,8 @@ def main() -> None:
             hparams={"labels": LABELS, "feature_in": 512, "in_c": 64},
         )
         resume_from = None
-        if args.resume and (root / f"run_{inject}" / "checkpoints" / "last").exists():
+        if args.resume and (root / (run_name or f"run_{inject}")
+                            / "checkpoints" / "last").exists():
             resume_from = "last"
         state = trainer.fit(resume=resume_from)
         done_epochs = max(getattr(trainer, "epoch", -1) + 1,
@@ -420,8 +443,35 @@ def main() -> None:
         trainer.completed = done_epochs >= epochs
         return dm, model, state, trainer
 
+    if args.skyline:
+        # data-quantity upper bound: train on train + clean pool with TRUE
+        # labels.  If this does not clearly beat the labeled-only control,
+        # no pseudo-labeler can win in this corpus configuration.
+        merged = root / "skyline_manifest.json"
+        if not merged.exists():
+            merged.write_text(open(train_manifest).read()
+                              + open(clean_manifest).read())
+        _, model_s, state_s, trainer_s = run_arm(
+            inject=False, train_m=merged, run_name="run_skyline")
+        if not trainer_s.completed:
+            print(json.dumps({"arm": "skyline", "status": "chunk_done",
+                              "epochs_done": getattr(trainer_s, "epoch", -1) + 1}))
+            return
+        cer_sky = dev_cer(model_s, state_s, root, dev_manifest, args.batch_size)
+        report = {"mode": "skyline", "labeled_utts": args.utts,
+                  "pool_clean": pool_clean, "base_noise": base,
+                  "pool_noise": list(pool_noise), "epochs": args.epochs,
+                  "dev_cer_skyline": cer_sky}
+        (root / "arm_skyline.json").write_text(json.dumps(report))
+        print(json.dumps(report))
+        return
+
     if args.diagnose:
-        _, model_c, state_c, _ = run_arm(inject=False)
+        _, model_c, state_c, trainer_d = run_arm(inject=False)
+        if not trainer_d.completed:
+            print(json.dumps({"arm": "diagnose", "status": "chunk_done",
+                              "epochs_done": getattr(trainer_d, "epoch", -1) + 1}))
+            return
         cer_control = dev_cer(model_c, state_c, root, dev_manifest,
                               args.batch_size)
         c_stems, c_refs, c_hyps, c_confs = decode_corpus(
