@@ -128,15 +128,25 @@ class StreamingTranscriber:
 
     # ------------------------------------------------------------------
     def _drop_consumed(self) -> None:
-        """Free buffered samples no window will read again (before the next
-        window's start) — keeps session memory O(chunk), not O(stream)."""
+        """Free buffered samples no window will read again — keeps session
+        memory O(chunk), not O(stream).  The bound is NOT ``_next_start``:
+        the stream may end at any moment, and the final right-aligned window
+        then starts at ``total - chunk``, which sits BEFORE ``_next_start``
+        whenever the stream ends within ``2*overlap`` of a hop boundary —
+        those samples must stay readable or ``finish()`` would compute the
+        last window over silently zero-filled left context and diverge from
+        ``translate_long``."""
+        bound = min(self._next_start, max(self._total - self.chunk, 0))
         while self._buf and \
-                self._buf_start + self._buf[0].size <= self._next_start:
+                self._buf_start + self._buf[0].size <= bound:
             self._buf_start += self._buf[0].size
             self._buf.pop(0)
 
     def _window_samples(self, start: int) -> np.ndarray:
         """Zero-padded (chunk,) view of absolute samples [start, start+chunk)."""
+        assert start >= self._buf_start, (
+            f"window start {start} reads samples already freed "
+            f"(buffer begins at {self._buf_start}) — _drop_consumed bound bug")
         out = np.zeros(self.chunk, np.float32)
         pos = self._buf_start
         for piece in self._buf:

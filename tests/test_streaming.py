@@ -99,6 +99,35 @@ def test_streaming_bounded_buffer(translator):
     assert st._buf_start + sum(p.size for p in st._buf) == st.samples_fed
 
 
+def test_finish_window_reads_real_samples(translator):
+    """The final right-aligned window can start BEFORE the next hop
+    boundary (whenever the stream ends within 2*overlap of a hop); its
+    input must be the true samples, not zero-fill.  Regression:
+    _drop_consumed freed everything below _next_start, so small-block
+    feeds dropped the final window's left context and finish() silently
+    computed it over zeros, diverging from translate_long on real audio."""
+    wave = _wave(11.0, seed=9)
+    st = StreamingTranscriber(translator, chunk_seconds=4.0,
+                              overlap_seconds=0.5)
+    captured = []
+    orig = translator._jit_forward
+
+    def capturing(w, lens):
+        captured.append(np.asarray(w)[0].copy())
+        return orig(w, lens)
+
+    translator._jit_forward = capturing
+    try:
+        for pos in range(0, wave.shape[0], 1000):
+            st.feed(wave[pos: pos + 1000])
+        st.finish()
+    finally:
+        translator._jit_forward = orig
+    final_start = wave.shape[0] - st.chunk
+    assert final_start < st._next_start  # the regression's trigger geometry
+    np.testing.assert_array_equal(captured[-1], wave[final_start:])
+
+
 def test_streaming_geometry_validation(translator):
     with pytest.raises(ValueError):
         StreamingTranscriber(translator, chunk_seconds=1.0,
