@@ -38,8 +38,11 @@ ARGS=(--mode low_label --utts 320 --pool_clean 2560 --pool_corrupt 320
 for i in $(seq 1 16); do
   [ -f "$ROOT/arm_pseudo.json" ] && break
   echo "=== pseudo arm chunk $i ==="
+  # transient tunnel/remote-compile failures (e.g. "response body closed
+  # before all bytes were read") are retried: --resume makes a relaunch
+  # continue from the last checkpoint, and the chunk budget bounds retries
   python scripts/ssl_smoke.py "${ARGS[@]}" --arm pseudo --chunk_epochs 24 \
-    || { echo "pseudo arm chunk failed (rc=$?)"; exit 1; }
+    || { echo "pseudo arm chunk failed (rc=$?), retrying after 60s"; sleep 60; }
 done
 [ -f "$ROOT/arm_pseudo.json" ] || { echo "pseudo arm exhausted"; exit 1; }
 for i in $(seq 1 8); do
@@ -52,6 +55,6 @@ for i in $(seq 1 8); do
   if [ -f "$ROOT/arm_control.json" ]; then
     echo "control arm + report done (rc=$rc)"; exit 0
   fi
-  [ $rc -ne 0 ] && { echo "control arm chunk failed (rc=$rc)"; exit 1; }
+  [ $rc -ne 0 ] && { echo "control arm chunk failed (rc=$rc), retrying after 60s"; sleep 60; }
 done
 echo "driver exhausted its chunk budget"; exit 1
