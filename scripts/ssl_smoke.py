@@ -356,7 +356,16 @@ def main() -> None:
                                      noise=(base, base), speakers=spk_train)
         clean_manifest = make_corpus(root, pool_clean, 2, "pseudo", patterns,
                                      noise=pool_noise, speakers=spk_pool)
-        corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None)
+        # corrupt pool must sit at the SAME amplitude as the clean pool
+        # (make_corpus docstring: "patternless noise at the same scale") —
+        # leaving it at the 0.3 default while base_noise is 1.2 makes the
+        # corrupted utterances QUIETER than clean speech, and a trained
+        # student hallucinates confident transcripts on low-amplitude
+        # garbage: observed 98.8% of the whole pool kept (>=284 corrupt)
+        # in the first v4 quantity run, poisoning the injected set and
+        # failing the selectivity gates by construction.
+        corrupt_manifest = make_corpus(root, pool_corrupt, 4, "corrupt", None,
+                                       noise=pool_noise)
         dev_manifest = make_corpus(
             root, args.dev_utts or max(args.utts // 3, 16), 3, "dev", patterns,
             noise=(base, base), speakers=spk_dev)
