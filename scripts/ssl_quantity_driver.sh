@@ -35,16 +35,28 @@ ARGS=(--mode low_label --utts 320 --pool_clean 2560 --pool_corrupt 320
       --control_epochs 480 --first_cycle_epochs 480 --schedule_gamma 0.1
       --val_every 8 --root "$ROOT" --resume --out SSL_SMOKE.json)
 
+fails=0
 for i in $(seq 1 16); do
   [ -f "$ROOT/arm_pseudo.json" ] && break
   echo "=== pseudo arm chunk $i ==="
   # transient tunnel/remote-compile failures (e.g. "response body closed
   # before all bytes were read") are retried: --resume makes a relaunch
-  # continue from the last checkpoint, and the chunk budget bounds retries
-  python scripts/ssl_smoke.py "${ARGS[@]}" --arm pseudo --chunk_epochs 24 \
-    || { echo "pseudo arm chunk failed (rc=$?), retrying after 60s"; sleep 60; }
+  # continue from the last checkpoint, and the chunk budget bounds retries.
+  # Three CONSECUTIVE failures = deterministic breakage (bad flag, code
+  # bug, persistent OOM) — fail fast instead of burning the chunk budget
+  # (ADVICE r4).
+  if python scripts/ssl_smoke.py "${ARGS[@]}" --arm pseudo --chunk_epochs 24; then
+    fails=0
+  else
+    rc=$?
+    fails=$((fails+1))
+    echo "pseudo arm chunk failed (rc=$rc, consecutive=$fails)"
+    [ $fails -ge 3 ] && { echo "3 consecutive failures: not transient, aborting"; exit 1; }
+    sleep 60
+  fi
 done
 [ -f "$ROOT/arm_pseudo.json" ] || { echo "pseudo arm exhausted"; exit 1; }
+fails=0
 for i in $(seq 1 8); do
   [ -f "$ROOT/arm_control.json" ] && break
   echo "=== control arm chunk $i ==="
@@ -55,6 +67,13 @@ for i in $(seq 1 8); do
   if [ -f "$ROOT/arm_control.json" ]; then
     echo "control arm + report done (rc=$rc)"; exit 0
   fi
-  [ $rc -ne 0 ] && { echo "control arm chunk failed (rc=$rc), retrying after 60s"; sleep 60; }
+  if [ $rc -ne 0 ]; then
+    fails=$((fails+1))
+    echo "control arm chunk failed (rc=$rc, consecutive=$fails)"
+    [ $fails -ge 3 ] && { echo "3 consecutive failures: not transient, aborting"; exit 1; }
+    sleep 60
+  else
+    fails=0
+  fi
 done
 echo "driver exhausted its chunk budget"; exit 1

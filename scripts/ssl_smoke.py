@@ -91,8 +91,18 @@ def make_corpus(root: Path, n_utts: int, seed: int, name: str,
         spk = (int(rng.integers(speakers[1], speakers[2]))
                if speakers is not None else -1)
         if patterns is None:
+            # corrupted utterance: patternless noise whose per-element
+            # amplitude MATCHES a clean pool utterance drawn at the same
+            # noise scale — clean feats are pattern (std 2.0, line ~331)
+            # + scale*N(0,1), i.e. per-element std sqrt(2.0^2 + scale^2).
+            # Without this the corrupt pool is quieter than clean speech
+            # whenever base_noise > 0 and amplitude alone leaks the label
+            # (ADVICE r4: the earlier noise= pass-through never reached
+            # this branch).
             T = len(text) * FRAMES_PER_CHAR
-            feats = (2.0 * rng.standard_normal((T, 512))).astype(np.float32)[None]
+            scale = float(rng.uniform(noise[0], noise[1]))
+            amp = float(np.sqrt(2.0 ** 2 + scale ** 2))
+            feats = (amp * rng.standard_normal((T, 512))).astype(np.float32)[None]
         else:
             scale = float(rng.uniform(noise[0], noise[1]))
             frames = []
