@@ -64,3 +64,34 @@ def test_gradients_flow():
     g = jax.grad(loss)(params, waves)
     gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_feature_encoder_matches_real_xlsr():
+    """Parity vs REAL pretrained weights — opt-in, network/cache required.
+
+    ``LASR_WAV2VEC_REAL`` names the HF model id or a local checkpoint dir
+    (e.g. ``facebook/wav2vec2-large-xlsr-53``, the reference's extractor
+    default, ``/root/reference/ssl_codec/convert_manifestwav2pkl.py:24-34``).
+    Skipped in the build image (no network); docs/REAL_DATA_RUNBOOK.md §3."""
+    import os
+
+    target = os.environ.get("LASR_WAV2VEC_REAL")
+    if not target:
+        pytest.skip("set LASR_WAV2VEC_REAL=<model-id-or-path> to run")
+    from transformers import Wav2Vec2Model
+
+    hf_full = Wav2Vec2Model.from_pretrained(target)
+    hf_full.eval()
+    enc = hf_full.feature_extractor
+    norm = hf_full.config.feat_extract_norm
+
+    rng = np.random.default_rng(0)
+    waves = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        golden = enc(torch.from_numpy(waves)).transpose(1, 2).numpy()
+
+    model = Wav2Vec2FeatureEncoderFlax(
+        feat_extract_norm=norm, conv_bias=hf_full.config.conv_bias)
+    params = convert_hf_feature_encoder(enc.state_dict(), norm=norm)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(waves)))
+    np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=1e-4)
