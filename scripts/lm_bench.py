@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Native beam decoder at a REAL-scale LM operating point (VERDICT r4 #6).
+
+Builds a word-structured synthetic language (fixed Zipf vocabulary +
+Markov bigram sentence process), trains a 3-gram ARPA on a few MB of its
+text with ``scripts/make_arpa_lm.py`` (hundreds of thousands of n-grams —
+the scale/perf regime the tiny unit-test LMs never touched), trains the
+flagship acoustic model to an imperfect operating point on its audio, and
+decodes a 100-utterance batch of ON-CHIP posteriors through the native
+C++ beam search across beam widths, with and without the LM.
+
+Records (LM_BENCH.json): LM scale + held-out perplexity, decode latency /
+throughput per (beam, lm) config, and the LM rescoring WER delta — the
+reference's operating point is beam 40, alpha=beta=1.0
+(``/root/reference/predict.py:217-223``).
+
+Usage: python scripts/lm_bench.py [--train_utts 700] [--epochs 28]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from convergence_run import CHARS, LABELS, SR, synth  # noqa: E402
+from make_arpa_lm import train_arpa, write_arpa, perplexity  # noqa: E402
+
+
+def make_language(n_words: int, seed: int = 7):
+    """Fixed word vocabulary + Zipf unigram + sparse Markov bigram process."""
+    rng = np.random.default_rng(seed)
+    words = []
+    seen = set()
+    while len(words) < n_words:
+        w = "".join(rng.choice(CHARS, size=int(rng.integers(2, 7))))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    # Zipf-ish unigram over words
+    uni = 1.0 / np.arange(1, n_words + 1) ** 1.05
+    uni /= uni.sum()
+    # sparse Markov successors: each word prefers ~20 next-words
+    n_succ = 20
+    succ_idx = rng.integers(0, n_words, size=(n_words, n_succ))
+    succ_p = rng.dirichlet(np.ones(n_succ) * 0.4, size=n_words)
+    return words, uni, (succ_idx, succ_p)
+
+
+def sample_sentence(rng, words, uni, markov, n_lo=4, n_hi=10):
+    succ_idx, succ_p = markov
+    n = int(rng.integers(n_lo, n_hi))
+    idx = [int(rng.choice(len(words), p=uni))]
+    for _ in range(n - 1):
+        if rng.random() < 0.85:  # Markov step
+            j = idx[-1]
+            idx.append(int(succ_idx[j, rng.choice(succ_idx.shape[1], p=succ_p[j])]))
+        else:  # unigram restart
+            idx.append(int(rng.choice(len(words), p=uni)))
+    return [words[i] for i in idx]
+
+
+def write_audio_split(root, name, sents, rng, noise):
+    from lightning_asr_tpu.data.audio import write_wav
+
+    rows = []
+    for i, ws in enumerate(sents):
+        text = " ".join(ws)
+        wave = synth(text, float(rng.uniform(95, 260)), rng)
+        wave = wave + noise * rng.standard_normal(wave.shape).astype(np.float32)
+        path = root / f"{name}{i:05d}.wav"
+        write_wav(path, wave[None], SR)
+        rows.append({"audio_filepath": str(path), "duration": len(wave) / SR,
+                     "text": text})
+    manifest = root / f"{name}_manifest.json"
+    with open(manifest, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return manifest, rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab_words", type=int, default=2000)
+    ap.add_argument("--lm_sentences", type=int, default=60000)
+    ap.add_argument("--train_utts", type=int, default=700)
+    ap.add_argument("--eval_utts", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=28)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--noise", type=float, default=0.06,
+                    help="extra waveform noise so the acoustic model is "
+                         "imperfect and the LM has headroom")
+    ap.add_argument("--beams", type=int, nargs="+", default=[10, 40, 100])
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument("--beta", type=float, default=1.0)
+    ap.add_argument("--out", default="LM_BENCH.json")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from lightning_asr_tpu.data import AsrDataModule
+    from lightning_asr_tpu.data.audio import read_audio
+    from lightning_asr_tpu.decoding.beam_search import BeamSearchDecoderWithLM
+    from lightning_asr_tpu.metrics.wer import WER
+    from lightning_asr_tpu.models import build_model
+    from lightning_asr_tpu.ops.frontend import MelFrontendConfig
+    from lightning_asr_tpu.optim import cosine_annealing_warmup_restarts, novograd
+    from lightning_asr_tpu.training import Trainer
+    from lightning_asr_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    report: dict = {"config": vars(args)}
+    root = Path(tempfile.mkdtemp(prefix="lm_bench_"))
+    rng = np.random.default_rng(0)
+    words, uni, markov = make_language(args.vocab_words)
+
+    # ---- LM corpus + ARPA ------------------------------------------------
+    t0 = time.perf_counter()
+    lm_sents = [sample_sentence(rng, words, uni, markov)
+                for _ in range(args.lm_sentences)]
+    held_sents = [sample_sentence(rng, words, uni, markov) for _ in range(1000)]
+    corpus_path = root / "lm_corpus.txt"
+    corpus_path.write_text("\n".join(" ".join(s) for s in lm_sents))
+    tables, V = train_arpa(lm_sents, 3)
+    arpa_path = root / "lm3.arpa"
+    write_arpa(tables, arpa_path)
+    report["lm"] = {
+        "corpus_mb": round(corpus_path.stat().st_size / 1e6, 2),
+        "arpa_mb": round(arpa_path.stat().st_size / 1e6, 2),
+        "ngrams": {f"{n}": len(tables[n]) for n in tables},
+        "vocab_words": V,
+        "heldout_ppl": round(perplexity(tables, held_sents, 3), 2),
+        "unigram_ppl": round(perplexity({1: tables[1]}, held_sents, 1), 2),
+        "train_seconds": round(time.perf_counter() - t0, 1),
+    }
+    print("LM:", json.dumps(report["lm"]))
+
+    # ---- audio corpora ---------------------------------------------------
+    train_sents = [sample_sentence(rng, words, uni, markov)
+                   for _ in range(args.train_utts)]
+    eval_sents = [sample_sentence(rng, words, uni, markov)
+                  for _ in range(args.eval_utts)]
+    train_manifest, _ = write_audio_split(root, "train", train_sents, rng, args.noise)
+    eval_manifest, eval_rows = write_audio_split(root, "eval", eval_sents, rng, args.noise)
+
+    # ---- acoustic training ----------------------------------------------
+    dm = AsrDataModule(
+        train_manifest=str(train_manifest), dev_manifest=str(eval_manifest),
+        test_manifest=str(eval_manifest), labels=LABELS,
+        train_bs=args.batch_size, dev_bs=args.batch_size,
+        bucket_seconds=(4.0, 6.0, 8.0), crop=False,
+    )
+    num_classes = len(LABELS) + 1
+    model = build_model(num_classes=num_classes, mask=True, dtype=jnp.bfloat16)
+    steps_per_epoch = dm.steps_per_epoch()
+    schedule = cosine_annealing_warmup_restarts(
+        first_cycle_steps=max(args.epochs * steps_per_epoch, 2), cycle_mult=1,
+        max_lr=5e-3, min_lr=1e-4, warmup_steps=min(100, steps_per_epoch * 2),
+        gamma=1.0)
+    opt = novograd(schedule, betas=(0.8, 0.5), weight_decay=1e-3)
+    trainer = Trainer(
+        model, opt, dm, total_epochs=args.epochs,
+        check_val_every_n_epoch=max(args.epochs // 4, 1),
+        run_dir=root / "run", lr_schedule=schedule,
+        frontend=MelFrontendConfig(precision="default"), augment=False,
+        log_every_n_steps=100,
+        hparams={"labels": LABELS, "use_cer": False,
+                 "encoder": "quartznet12_context"},
+    )
+    state = trainer.fit()
+    val = trainer.validate(state)
+    report["acoustic"] = {"val_wer_greedy_device": float(val["val_wer"]),
+                          "epochs": args.epochs}
+    print("acoustic:", json.dumps(report["acoustic"]))
+
+    # ---- on-chip posteriors for the eval batch ---------------------------
+    import jax
+
+    bucket_s = 8.0
+    S = int(bucket_s * SR)
+    waves = np.zeros((args.eval_utts, S), np.float32)
+    lens = np.zeros((args.eval_utts,), np.int32)
+    for i, r in enumerate(eval_rows):
+        samples, _ = read_audio(r["audio_filepath"], mono=True)
+        n = min(samples.shape[1], S)
+        waves[i, :n] = samples[0, :n]
+        lens[i] = n
+
+    from lightning_asr_tpu.ops.frontend import log_mel_spectrogram, normalize_features
+
+    @jax.jit
+    def forward(waves, wave_lens):
+        feats, feat_lens = log_mel_spectrogram(
+            waves, wave_lens, MelFrontendConfig(precision="default"), rng=None)
+        feats = normalize_features(feats, feat_lens)
+        percents = feat_lens.astype(jnp.float32) / jnp.float32(feats.shape[1])
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats, percents, False)
+
+    lp_parts, len_parts = [], []
+    for i in range(0, args.eval_utts, 25):
+        lp, ol = forward(jnp.asarray(waves[i:i + 25]), jnp.asarray(lens[i:i + 25]))
+        lp_parts.append(np.asarray(lp, np.float32))
+        len_parts.append(np.asarray(ol, np.int32))
+    log_probs = np.concatenate(lp_parts)
+    out_lens = np.concatenate(len_parts)
+    total_audio_s = float(lens.sum()) / SR
+    refs = [r["text"] for r in eval_rows]
+
+    # ---- decode arms -----------------------------------------------------
+    def wer_of(hyps):
+        m = WER(LABELS, use_cer=False)
+        m.update(hyps, refs)
+        return float(m.compute())
+
+    # greedy (host collapse over the same posteriors)
+    t0 = time.perf_counter()
+    greedy = []
+    blank = num_classes - 1
+    for b in range(args.eval_utts):
+        ids = np.argmax(log_probs[b, : out_lens[b]], axis=-1)
+        prev, out = blank, []
+        for i in ids:
+            if i != prev and i != blank:
+                out.append(int(i))
+            prev = int(i)
+        greedy.append("".join(LABELS[i] for i in out))
+    greedy_dt = time.perf_counter() - t0
+    report["decode"] = [{
+        "config": "greedy", "wer": round(wer_of(greedy), 4),
+        "wall_s": round(greedy_dt, 2),
+        "utt_per_s": round(args.eval_utts / greedy_dt, 1),
+        "x_realtime": round(total_audio_s / greedy_dt, 1)}]
+    print("greedy:", json.dumps(report["decode"][-1]))
+
+    for use_lm in (False, True):
+        for beam in args.beams:
+            dec = BeamSearchDecoderWithLM(
+                LABELS, beam_width=beam, alpha=args.alpha, beta=args.beta,
+                lm_path=str(arpa_path) if use_lm else None, num_cpus=4)
+            dec.forward(log_probs[:4], out_lens[:4])  # warm the path
+            t0 = time.perf_counter()
+            hyps = dec.forward(log_probs, out_lens)
+            dt = time.perf_counter() - t0
+            entry = {
+                "config": f"beam{beam}" + ("_lm" if use_lm else ""),
+                "beam": beam, "lm": use_lm,
+                "wer": round(wer_of(hyps), 4),
+                "wall_s": round(dt, 2),
+                "utt_per_s": round(args.eval_utts / dt, 1),
+                "x_realtime": round(total_audio_s / dt, 1),
+            }
+            report["decode"].append(entry)
+            print(json.dumps(entry))
+            del dec
+
+    by = {e["config"]: e for e in report["decode"]}
+    op_ref, op_nolm = by.get("beam40_lm"), by.get("beam40")
+    if op_ref and op_nolm:
+        report["summary"] = {
+            "operating_point": "beam 40, alpha=beta=1.0 (predict.py:217-223)",
+            "wer_greedy": by["greedy"]["wer"],
+            "wer_beam40": op_nolm["wer"],
+            "wer_beam40_lm": op_ref["wer"],
+            "lm_rel_gain_vs_greedy": round(
+                1 - op_ref["wer"] / max(by["greedy"]["wer"], 1e-9), 4),
+            "beam40_lm_x_realtime": op_ref["x_realtime"],
+        }
+    out = Path(__file__).resolve().parents[1] / args.out
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
