@@ -31,3 +31,43 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Two-tier suite (VERDICT r4 #5): `-m fast` is the quick all-green signal
+# (no trainer fits / heavy train-step compiles); the full run is the
+# pre-commit gate.  Files here fit trainers, compile full train steps, or
+# spawn worker processes — everything else is auto-marked `fast`.
+# Timings: see CLAUDE.md "Commands"; re-measure with
+#   python -m pytest tests/ -q --durations=30
+# ---------------------------------------------------------------------------
+SLOW_FILES = {
+    "test_training_e2e.py",     # Trainer.fit + full-step compiles
+    "test_plateau_trainer.py",  # Trainer.fit (plateau recipe)
+    "test_grad_accum.py",       # accum/clip train-step compiles
+    "test_tensor_parallel.py",  # dp x tp sharded step compiles
+    "test_multihost.py",        # 2-process gloo workers
+    "test_ssl.py",              # SSL trainer fits + pseudo loop
+    "test_ssl_retrain.py",      # retrain-mode trainer
+    "test_ssl_speakers.py",     # speaker-corpus trainer
+    "test_dual_stream.py",      # dual-stream trainer
+    "test_predict_parity.py",   # train->ckpt->predict round trip
+    "test_inference.py",        # translator compiles + server
+    "test_cli_wiring.py",       # train.py entry smoke (fit)
+    "test_streaming.py",        # streaming vs translate_long compiles
+    "test_torch_import.py",     # torch reference model build + parity
+    "test_ctc_pallas.py",       # interpret-mode kernel grads
+    "test_lstm_pallas.py",
+    "test_sepconv_pallas.py",
+    "test_depthwise_pallas.py",
+    "test_convergence_resume.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.path.name if hasattr(item, "path") else item.fspath.basename
+        if fname in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+        elif "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
