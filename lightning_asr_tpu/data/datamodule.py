@@ -41,6 +41,7 @@ class AsrDataModule:
         pseudo_max_duration: float = 16.7,
         cache: Optional[str] = None,
         cache_dir: Optional[Union[str, Path]] = None,
+        wire: str = "int16",
     ):
         """``cache='ram'`` enables the decode-once waveform cache: every wav
         is decoded a single time (int16, exact for PCM16) and later epochs
@@ -69,6 +70,9 @@ class AsrDataModule:
         self.crop = crop
         self.bucket_seconds = bucket_seconds
         self.prefetch_depth = prefetch_depth
+        # host->device wire format: int16 (exact, default), mulaw8 (8-bit
+        # companded, opt-in for transfer-bound links), float32
+        self.wire = wire
         self.train_entries: List[ManifestEntry] = []
         self.dev_entries: List[ManifestEntry] = []
         self.test_entries: List[ManifestEntry] = []
@@ -124,7 +128,8 @@ class AsrDataModule:
             kwargs.update(shard_rank=rank, shard_count=world, pad_to=n_dev)
         return BucketBatcher(
             entries, self.vocab, bs, train=train, crop=self.crop and train,
-            seed=self.seed, wave_cache=self._wave_cache, **kwargs,
+            seed=self.seed, wave_cache=self._wave_cache,
+            wire_dtype=self.wire, **kwargs,
         )
 
     def train_dataloader(self, epoch: int = 0) -> BucketBatcher:

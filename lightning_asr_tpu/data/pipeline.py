@@ -70,6 +70,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# mu-law 8-bit wire format (opt-in): halves the int16 wire again — on a
+# transfer-bound link (the tunneled client measures ~90 MB/s H2D) the
+# epoch-throughput ceiling doubles.  Encode is a 65536-entry LUT over int16
+# PCM (mu=255, the G.711 companding curve); decode happens ON DEVICE in the
+# frontend (ops/frontend.py) with the closed-form inverse.  ~38 dB SNR —
+# inaudible under the recipe's dither/augment; exactness of the transport
+# itself (encode->device-decode == host reference) is pinned by
+# tests/test_pipeline.py.
+# ---------------------------------------------------------------------------
+_MULAW_LUT: Optional[np.ndarray] = None
+
+
+def _mulaw_lut() -> np.ndarray:
+    global _MULAW_LUT
+    if _MULAW_LUT is None:
+        v = np.arange(-32768, 32768, dtype=np.float64) / 32768.0
+        y = np.sign(v) * np.log1p(255.0 * np.abs(v)) / np.log(256.0)
+        _MULAW_LUT = (np.round(y * 127.0).astype(np.int32) + 128).astype(np.uint8)
+    return _MULAW_LUT
+
+
+def mulaw_encode(waves_i16: np.ndarray) -> np.ndarray:
+    """int16 PCM -> uint8 mu-law codes (128 = silence)."""
+    return _mulaw_lut()[waves_i16.astype(np.int32) + 32768]
+
+
+def mulaw_decode_host(codes: np.ndarray) -> np.ndarray:
+    """Host reference for the device-side expansion (float32, the exact
+    formula ops/frontend.py applies on uint8 waves)."""
+    y = (codes.astype(np.float32) - np.float32(128.0)) * np.float32(1.0 / 127.0)
+    return np.sign(y) * (np.exp(np.abs(y) * np.float32(np.log(256.0)))
+                         - np.float32(1.0)) * np.float32(1.0 / 255.0)
+
+
 class BucketBatcher:
     """Iterable over static-shape batches from a manifest entry list."""
 
@@ -107,6 +142,10 @@ class BucketBatcher:
         self.pad_to = max(pad_to, 1)
         # int16 wire format: wavs are 16-bit PCM, so sample*32768 is exact —
         # halves host->device transfer bytes (the device frontend rescales).
+        # mulaw8 quarters the float32 wire (G.711 companding, lossy ~38 dB
+        # SNR, opt-in for transfer-bound links); float32 ships raw floats.
+        if wire_dtype not in ("int16", "mulaw8", "float32"):
+            raise ValueError(f"wire_dtype must be int16|mulaw8|float32, got {wire_dtype!r}")
         self.wire_dtype = wire_dtype
         self.entries = list(entries)
         self.vocab = vocab
@@ -210,7 +249,7 @@ class BucketBatcher:
             texts.append(self.entries[idx].text)
 
         waves, wave_lens, prev_samples = self._decode_chunk(bucket, chunk, paths)
-        if self.wire_dtype == "int16" and waves.dtype != np.int16:
+        if self.wire_dtype in ("int16", "mulaw8") and waves.dtype != np.int16:
             # fallback path decoded float; native path already emits int16
             waves = np.round(waves * 32768.0).clip(-32768, 32767).astype(np.int16)
         if self.shard_count > 1 and len(chunk) < B:  # mesh-divisibility pad rows
@@ -218,6 +257,9 @@ class BucketBatcher:
             waves = np.concatenate([waves, np.zeros((pad, bucket), waves.dtype)])
             wave_lens = np.concatenate([wave_lens, np.full(pad, 160, np.int32)])
             prev_samples = np.concatenate([prev_samples, np.zeros(pad, np.float32)])
+        if self.wire_dtype == "mulaw8":
+            # companding LAST so pad/crop zeros become code 128 (= silence)
+            waves = mulaw_encode(waves)
         return Batch(waves, wave_lens, prev_samples, targets, target_lens, paths, texts,
                      global_size=global_size, valid_size=shard_valid)
 
@@ -233,8 +275,11 @@ class BucketBatcher:
         try:
             from ..native import load_wav_batch
 
+            # native loader emits int16 or float32; mulaw8 compands the
+            # int16 output at assemble time
+            native_dtype = "int16" if self.wire_dtype == "mulaw8" else self.wire_dtype
             waves, lens, prevs, srs = load_wav_batch(
-                paths, offsets, bucket, dtype=self.wire_dtype)
+                paths, offsets, bucket, dtype=native_dtype)
             if (lens < 0).any():
                 raise RuntimeError("native decode failed for "
                                    + paths[int(np.argmax(lens < 0))])
@@ -335,9 +380,9 @@ class BucketBatcher:
             waves[i, :ln] = w[off : off + ln]
             wave_lens[i] = ln
             prev_samples[i] = float(w[off - 1]) / 32768.0 if off > 0 else 0.0
-        if self.wire_dtype != "int16":
+        if self.wire_dtype == "float32":
             waves = waves.astype(np.float32) / 32768.0
-        return waves, wave_lens, prev_samples
+        return waves, wave_lens, prev_samples  # int16 for int16/mulaw8 wires
 
 
 def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:

@@ -248,6 +248,23 @@ def _preemphasis(waves: jnp.ndarray, prev_samples: Optional[jnp.ndarray], coeff:
     return waves - coeff * prev
 
 
+def expand_wire(waves: jax.Array) -> jax.Array:
+    """Expand a host wire format to float32 waveforms in-graph.
+
+    int16 PCM (exact, sample/32768 moves on-device) and uint8 mu-law
+    (quarter of float32; closed-form G.711 inverse, elementwise on the VPU)
+    — the host encode LUT + this expansion are parity-locked by
+    tests/test_pipeline.py (``data/pipeline.py`` mulaw_encode/decode_host).
+    """
+    if waves.dtype == jnp.int16:
+        return waves.astype(jnp.float32) * (1.0 / 32768.0)
+    if waves.dtype == jnp.uint8:
+        y = (waves.astype(jnp.float32) - 128.0) * (1.0 / 127.0)
+        return jnp.sign(y) * (jnp.exp(jnp.abs(y) * jnp.float32(np.log(256.0)))
+                              - 1.0) * (1.0 / 255.0)
+    return waves.astype(jnp.float32)
+
+
 def log_mel_spectrogram(
     waves: jnp.ndarray,
     wave_lens: jnp.ndarray,
@@ -286,12 +303,7 @@ def _log_mel_impl(
       mels: (B, T, n_mels) float32 log-mel (dB), un-normalized.
       mel_lens: (B,) int32 valid frame counts.
     """
-    if waves.dtype == jnp.int16:
-        # int16 PCM wire format (halves host->device transfer); the decode
-        # normalization (sample / 32768) moves on-device here.
-        waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
-    else:
-        waves = waves.astype(jnp.float32)
+    waves = expand_wire(waves)
     if rng is not None and cfg.dither > 0:
         waves = waves + cfg.dither * jax.random.normal(rng, waves.shape, jnp.float32)
 

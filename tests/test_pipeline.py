@@ -68,7 +68,7 @@ def test_train_drop_last_and_shuffle(corpus):
     assert n <= 7 and all(len(p) == 2 for p in order0)
 
 
-@pytest.mark.parametrize("wire_dtype", ["int16", "float32"])
+@pytest.mark.parametrize("wire_dtype", ["int16", "float32", "mulaw8"])
 @pytest.mark.parametrize("force_fallback", [False, True])
 def test_wave_content_exact(corpus, wire_dtype, force_fallback, monkeypatch):
     """Batch waves must be EXACTLY the file's PCM samples (regression: an
@@ -90,9 +90,11 @@ def test_wave_content_exact(corpus, wire_dtype, force_fallback, monkeypatch):
     batcher = BucketBatcher(entries, vocab, batch_size=2, train=False,
                             bucket_seconds=(1.0, 2.0, 4.0), crop=False,
                             wire_dtype=wire_dtype)
+    expect_dtype = {"int16": np.int16, "float32": np.float32,
+                    "mulaw8": np.uint8}[wire_dtype]
     checked = 0
     for b in batcher:
-        assert b.waves.dtype == (np.int16 if wire_dtype == "int16" else np.float32)
+        assert b.waves.dtype == expect_dtype
         for i in range(len(b.paths)):
             with wave_mod.open(b.paths[i]) as w:
                 pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
@@ -100,11 +102,62 @@ def test_wave_content_exact(corpus, wire_dtype, force_fallback, monkeypatch):
             assert b.wave_lens[i] == len(pcm)
             if wire_dtype == "int16":
                 np.testing.assert_array_equal(got, pcm)
+            elif wire_dtype == "mulaw8":
+                # the TRANSPORT is exact: codes are exactly the LUT of the
+                # file's PCM, and padding is exactly the silence code 128
+                from lightning_asr_tpu.data.pipeline import mulaw_encode
+
+                np.testing.assert_array_equal(got, mulaw_encode(pcm))
+                np.testing.assert_array_equal(
+                    np.asarray(b.waves[i, b.wave_lens[i]:]), 128)
             else:
                 np.testing.assert_allclose(got, pcm.astype(np.float32) / 32768.0,
                                            atol=1.0 / 32768.0)
             checked += 1
     assert checked == 8
+
+
+def test_mulaw_roundtrip_and_device_expansion():
+    """mu-law encode (host LUT) -> device expansion (frontend) must equal the
+    host reference decode bit-for-bit-ish (1 ulp), reach telephony-grade SNR
+    on speech-like audio, and map silence codes to exactly 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_asr_tpu.data.pipeline import mulaw_decode_host, mulaw_encode
+    from lightning_asr_tpu.ops.frontend import MelFrontendConfig, log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000.0
+    wave = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+            + 0.01 * rng.standard_normal(16000)).astype(np.float32)
+    pcm = np.round(wave * 32768.0).clip(-32768, 32767).astype(np.int16)
+    codes = mulaw_encode(pcm)
+    dec = mulaw_decode_host(codes)
+
+    # SNR of the companded round trip vs the original samples
+    x = pcm.astype(np.float64) / 32768.0
+    snr = 10 * np.log10((x ** 2).sum() / ((x - dec.astype(np.float64)) ** 2).sum())
+    assert snr > 30.0, snr
+    assert mulaw_encode(np.zeros(4, np.int16)).tolist() == [128] * 4
+    np.testing.assert_array_equal(mulaw_decode_host(np.full(4, 128, np.uint8)), 0.0)
+
+    # device expansion (the exact in-graph function the frontend applies)
+    # vs the host reference: 1-ulp-level agreement on the waveform
+    from lightning_asr_tpu.ops.frontend import expand_wire
+
+    dev = np.asarray(jax.jit(expand_wire)(jnp.asarray(codes)))
+    np.testing.assert_allclose(dev, dec, rtol=0, atol=2e-7)
+
+    # and end-to-end through the frontend: uint8 wire vs host-decoded floats
+    # (dB scale amplifies ulp noise in near-silent bins; 0.01 dB bound)
+    cfg = MelFrontendConfig(precision="highest", dither=0.0)
+    lens = np.asarray([16000], np.int32)
+    mel_u8, l1 = log_mel_spectrogram(jnp.asarray(codes[None]), jnp.asarray(lens), cfg, rng=None)
+    mel_f32, l2 = log_mel_spectrogram(jnp.asarray(dec[None]), jnp.asarray(lens), cfg, rng=None)
+    np.testing.assert_allclose(np.asarray(mel_u8), np.asarray(mel_f32),
+                               rtol=0, atol=1e-2)
+    assert int(l1[0]) == int(l2[0])
 
 
 def test_crop_semantics():

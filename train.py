@@ -58,6 +58,7 @@ def main(argv=None) -> None:
         prefetch_depth=data_cfg.get("prefetch_depth", 2),
         cache=data_cfg.get("cache"),
         cache_dir=data_cfg.get("cache_dir"),
+        wire=data_cfg.get("wire", "int16"),
     )
 
     import jax.numpy as jnp
