@@ -256,13 +256,37 @@ def create_flask_app(translator: AsrTranslator):
     return app
 
 
+def resolve_batching(batching, min_cores: int = 4) -> bool:
+    """Pick the serving mode for ``batching='auto'``.
+
+    Measured on a 1-core host (SERVING_BENCH.json): serial mode scales to
+    103 rps at c64 because request threads block in parallel on the device,
+    while the batcher's single device-loop thread starves against the HTTP
+    threads for the one core (31 rps at c32).  Batched mode amortizes
+    decode+submit only when the host has cores to spare — so 'auto' enables
+    it at >= ``min_cores`` cores and stays serial below."""
+    if batching == "auto":
+        import os
+
+        cores = os.cpu_count() or 1
+        on = cores >= min_cores
+        logger.info("batching=auto: %d host cores -> %s mode",
+                    cores, "batched" if on else "serial")
+        return on
+    if batching in ("on", True):
+        return True
+    if batching in ("off", False, None):
+        return False
+    raise ValueError(f"batching must be 'auto'|'on'|'off'|bool, got {batching!r}")
+
+
 def serve(
     model_path: str,
     host: str = "0.0.0.0",
     port: int = 5000,
     translator: Optional[AsrTranslator] = None,
     use_flask: Optional[bool] = None,
-    batching: bool = False,
+    batching="auto",
     max_batch: int = 8,
     max_wait_ms: float = 20.0,
     warmup_seconds: Optional[Sequence[float]] = None,
@@ -271,7 +295,10 @@ def serve(
     """Start the server (blocking).
 
     ``batching``/``warmup_seconds`` use the stdlib server (the Flask app,
-    like the reference's, serves requests independently)."""
+    like the reference's, serves requests independently).  ``batching``:
+    'auto' (default) selects batched mode only on multi-core hosts — see
+    ``resolve_batching``; 'on'/'off' force it."""
+    batching = resolve_batching(batching)
     translator = translator or AsrTranslator(model_path)
     if use_flask is None and not batching and not warmup_seconds:
         try:
@@ -362,8 +389,12 @@ def _main() -> None:
                     help="checkpoint dir (as written by CheckpointManager)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=5000)
-    ap.add_argument("--batching", action="store_true",
-                    help="collect concurrent requests into device batches")
+    ap.add_argument("--batching", choices=["auto", "on", "off"], default="auto",
+                    help="collect concurrent requests into device batches; "
+                         "'auto' (default) enables this only on multi-core "
+                         "hosts — on few-core hosts the batcher's device "
+                         "loop starves against HTTP threads and serial "
+                         "mode is faster (SERVING_BENCH.json)")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
     ap.add_argument("--max-queue", type=int, default=64,

@@ -222,6 +222,16 @@ def main() -> None:
         mode = "batched" if batching else "serial"
         report["modes"][mode + "_warmup_s"] = round(warmup_s, 1)
 
+    # the DEFAULT config (batching='auto') resolves per host core count —
+    # record which of the two measured modes a plain `serve(model)` runs
+    # on this rig (VERDICT r4 #4: the default must be the winning mode)
+    from lightning_asr_tpu.inference.server import resolve_batching
+
+    default_mode = "batched" if resolve_batching("auto") else "serial"
+    report["default_config"] = {
+        "batching": "auto", "resolves_to": default_mode,
+        "levels": report["modes"][default_mode]}
+
     out = Path(__file__).resolve().parents[1] / "SERVING_BENCH.json"
     out.write_text(json.dumps(report, indent=2) + "\n")
     print(json.dumps({"wrote": str(out)}))

@@ -302,3 +302,20 @@ def test_device_loop_pipelines_two_batches_in_flight():
     first_resolve = kinds.index("resolve")
     assert kinds[:first_resolve].count("submit") >= 2, (
         f"no overlap: {events}")
+
+
+def test_resolve_batching_auto(monkeypatch):
+    """'auto' picks batched only on multi-core hosts (SERVING_BENCH: the
+    batcher's device loop starves against HTTP threads on few cores)."""
+    import os
+
+    from lightning_asr_tpu.inference.server import resolve_batching
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    assert resolve_batching("auto") is False
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    assert resolve_batching("auto") is True
+    assert resolve_batching("on") is True and resolve_batching(True) is True
+    assert resolve_batching("off") is False and resolve_batching(None) is False
+    with pytest.raises(ValueError):
+        resolve_batching("maybe")
