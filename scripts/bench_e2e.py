@@ -140,7 +140,8 @@ def _environment_probes(dm) -> dict:
     }
 
 
-def run_mode(manifest: Path, mode: str, epochs: int, batch_size: int) -> dict:
+def run_mode(manifest: Path, mode: str, epochs: int, batch_size: int,
+             wire: str = "int16") -> dict:
     import jax.numpy as jnp
 
     from lightning_asr_tpu.data import AsrDataModule
@@ -166,6 +167,9 @@ def run_mode(manifest: Path, mode: str, epochs: int, batch_size: int) -> dict:
         # crop in-graph per replay step (ops.augment.wave_crop), so crop
         # stays ON in every mode — the headline trains the exact recipe
         crop=True,
+        # mulaw8 halves the int16 wire again (VERDICT r4 #3): the 8-bit
+        # companded codes expand on-device (ops/frontend.py expand_wire)
+        wire=wire,
     )
     model = build_model(num_classes=len(LABELS) + 1, mask=True, dtype=jnp.bfloat16)
     steps_per_epoch = dm.steps_per_epoch()
@@ -242,6 +246,9 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--corpus", type=str, default="/tmp/bench_e2e_corpus")
     ap.add_argument("--modes", type=str, default="tunnel,ram_cache,device_cache")
+    ap.add_argument("--wire", type=str, default="int16",
+                    help="host->device wire format (int16 | mulaw8); non-default "
+                         "runs are recorded under '<mode>_<wire>' keys")
     args = ap.parse_args()
 
     from lightning_asr_tpu.data import AsrDataModule
@@ -264,9 +271,12 @@ def main() -> None:
             results = {}
     for mode in args.modes.split(","):
         mode = mode.strip()
-        print(f"=== mode: {mode} ===")
-        results[mode] = run_mode(manifest, mode, args.epochs, args.batch_size)
-        print(json.dumps({k: v for k, v in results[mode].items() if k != "epochs"}))
+        key = mode if args.wire == "int16" else f"{mode}_{args.wire}"
+        print(f"=== mode: {key} ===")
+        results[key] = run_mode(manifest, mode, args.epochs, args.batch_size,
+                                wire=args.wire)
+        results[key]["wire"] = args.wire
+        print(json.dumps({k: v for k, v in results[key].items() if k != "epochs"}))
 
     probe_dm = AsrDataModule(
         train_manifest=str(manifest), dev_manifest=None, test_manifest=None,

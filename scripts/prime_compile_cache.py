@@ -118,6 +118,23 @@ def _prime_common(n_devices: int, B: int, T: int) -> None:
         jnp.asarray(rng_np.standard_normal((4, 96, 64)).astype(np.float32)),
         jnp.full((4,), 96, jnp.int32), w, w).block_until_ready()
     print(f"pallas kernels compiled+ran in {time.monotonic() - t0:.1f}s")
+
+    # heavy-test graph variants (the slow tier's other big compiles): the
+    # grad-accum scanned step and the gradient-clipping optax chain
+    # (tests/test_grad_accum.py) — tp graphs stay per-test (their meshes
+    # reshape the device grid, which cannot be primed from here)
+    t0 = time.monotonic()
+    import optax
+
+    clip_opt = optax.chain(optax.clip(0.5), opt)
+    accum_state = create_train_state(model, clip_opt, rng, feature_shape=(1, 128, 64))
+    accum_state = jax.device_put(accum_state, replicated_sharding(mesh))
+    accum_step = jax.jit(
+        make_train_step(model, clip_opt, 28, cfg, augment=True,
+                        accum_steps=2),
+        donate_argnums=(0,))
+    accum_step(accum_state, batch, rng)
+    print(f"accum+clip step compiled+ran in {time.monotonic() - t0:.1f}s")
     print("CACHE PRIMED")
 
 
