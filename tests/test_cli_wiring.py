@@ -181,11 +181,11 @@ def test_server_cli_wiring(monkeypatch):
     monkeypatch.setattr(srv, "serve", lambda model, **kw: captured.update(
         {"model": model, **kw}))
     monkeypatch.setattr(sys, "argv", [
-        "server", "--model", "/tmp/ck", "--port", "5005", "--batching",
+        "server", "--model", "/tmp/ck", "--port", "5005", "--batching", "on",
         "--max-batch", "16", "--max-wait-ms", "5",
         "--warmup-seconds", "2.0", "5.0"])
     srv._main()
     assert captured == {"model": "/tmp/ck", "host": "0.0.0.0", "port": 5005,
-                        "use_flask": None, "batching": True, "max_batch": 16,
+                        "use_flask": None, "batching": "on", "max_batch": 16,
                         "max_wait_ms": 5.0, "warmup_seconds": [2.0, 5.0],
                         "max_queue": 64}
